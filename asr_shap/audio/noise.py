@@ -1,0 +1,49 @@
+"""Controlled noise injection at a target SNR.
+
+This is the reference's core experimental mechanism: white noise mixed at a
+known SNR with the noise signal kept for ground-truth speech/noise dominance
+masks (shap_calculation.py:55-60 ``_add_noise``; the training-time general
+mixer is train_asr.py:169-179 ``_mix_at_snr``). Unlike the reference, the
+noise draw is seeded (explicit key) so test sets are reproducible.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def add_white_noise_at_snr(
+    key: jax.Array, audio: jnp.ndarray, snr_db: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (noisy_audio, noise) with white Gaussian noise at ``snr_db``.
+
+    Semantics of shap_calculation.py:55-60: noise_power =
+    signal_power / 10^(snr/10); noise ~ N(0, sqrt(noise_power)).
+    """
+    audio = audio.astype(jnp.float32)
+    signal_power = jnp.mean(jnp.square(audio))
+    noise_power = signal_power / (10.0 ** (snr_db / 10.0))
+    noise = jax.random.normal(key, audio.shape, dtype=jnp.float32) * jnp.sqrt(
+        noise_power
+    )
+    return audio + noise, noise
+
+
+def mix_at_snr(
+    speech: jnp.ndarray, noise: jnp.ndarray, snr_db: float
+) -> jnp.ndarray:
+    """Mix an arbitrary noise signal into speech at ``snr_db``
+    (train_asr.py:169-179 capability: scale noise so that
+    10*log10(P_speech / P_scaled_noise) = snr_db)."""
+    speech = speech.astype(jnp.float32)
+    noise = noise.astype(jnp.float32)
+    n = speech.shape[-1]
+    if noise.shape[-1] < n:
+        reps = -(-n // noise.shape[-1])
+        noise = jnp.tile(noise, reps)
+    noise = noise[..., :n]
+    p_s = jnp.mean(jnp.square(speech), axis=-1, keepdims=True)
+    p_n = jnp.maximum(jnp.mean(jnp.square(noise), axis=-1, keepdims=True), 1e-12)
+    scale = jnp.sqrt(p_s / (p_n * (10.0 ** (snr_db / 10.0))))
+    return speech + scale * noise

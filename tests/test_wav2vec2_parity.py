@@ -1,0 +1,140 @@
+"""Numerical parity of the pure-JAX Wav2Vec2 against torch transformers.
+
+Since the environment has no network access, parity is established on
+randomly-initialized HF models: instantiate torch Wav2Vec2ForCTC from config,
+convert its state_dict with models/convert_hf.py, and require logits to match
+within float32 tolerance. This validates every architectural detail (conv
+arithmetic, GroupNorm, exact-GELU, weight-normed positional conv, post-LN
+ordering, CTC head) — SURVEY.md section 7 "bit-level preprocessing parity".
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from asr_shap.core.config import Wav2Vec2Config
+from asr_shap.models.convert_hf import convert_wav2vec2_state_dict
+from asr_shap.models.wav2vec2 import feature_lengths, wav2vec2_logits
+
+
+def _hf_model(cfg: Wav2Vec2Config, seed: int = 0):
+    hf_cfg = transformers.Wav2Vec2Config(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        conv_dim=list(cfg.conv_dim),
+        conv_stride=list(cfg.conv_stride),
+        conv_kernel=list(cfg.conv_kernel),
+        conv_bias=cfg.conv_bias,
+        feat_extract_norm=cfg.feat_extract_norm,
+        num_conv_pos_embeddings=cfg.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=cfg.num_conv_pos_embedding_groups,
+        do_stable_layer_norm=cfg.do_stable_layer_norm,
+        layer_norm_eps=cfg.layer_norm_eps,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        final_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    torch.manual_seed(seed)
+    model = transformers.Wav2Vec2ForCTC(hf_cfg)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    cfg = Wav2Vec2Config(
+        vocab_size=32, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128,
+        conv_dim=(32, 32), conv_stride=(5, 2), conv_kernel=(10, 3),
+        conv_bias=False, feat_extract_norm="group",
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        feat_proj_dim=32,
+    )
+    model = _hf_model(cfg)
+    params = convert_wav2vec2_state_dict(model.state_dict(), cfg)
+    return cfg, model, params
+
+
+def test_logits_match_torch(tiny_pair, rng):
+    cfg, model, params = tiny_pair
+    x = rng.standard_normal((2, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).logits.numpy()
+    ours = np.asarray(wav2vec2_logits(params, cfg, jnp.asarray(x)))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=2e-5)
+
+
+def test_logits_match_torch_with_remat(tiny_pair, rng):
+    cfg, model, params = tiny_pair
+    x = rng.standard_normal((1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).logits.numpy()
+    ours = np.asarray(wav2vec2_logits(params, cfg, jnp.asarray(x), remat=True))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=2e-5)
+
+
+def test_stable_layer_norm_variant_matches_torch(rng):
+    cfg = Wav2Vec2Config(
+        vocab_size=32, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128,
+        conv_dim=(32, 32), conv_stride=(5, 2), conv_kernel=(10, 3),
+        conv_bias=True, feat_extract_norm="layer",
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=True, feat_proj_dim=32,
+    )
+    model = _hf_model(cfg, seed=1)
+    params = convert_wav2vec2_state_dict(model.state_dict(), cfg)
+    x = rng.standard_normal((1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).logits.numpy()
+    ours = np.asarray(wav2vec2_logits(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=2e-5)
+
+
+def test_feature_lengths_match_conv_output(tiny_pair, rng):
+    cfg, _, params = tiny_pair
+    for n in (1600, 1601, 2000, 4321):
+        x = jnp.zeros((1, n))
+        t = wav2vec2_logits(params, cfg, x).shape[1]
+        assert int(feature_lengths(cfg, jnp.asarray([n]))[0]) == t
+        assert cfg.frames_for_samples(n) == t
+
+
+def test_padded_batch_matches_unpadded(rng):
+    """A short clip padded inside a batch must produce the same logits (over
+    its valid frames) as the same clip alone — attention-mask correctness.
+
+    Uses the feat_extract_norm="layer" variant: with "group" norm, statistics
+    couple across (padded) time, so padded batching is unsupported there —
+    the same restriction HF documents for wav2vec2-base.
+    """
+    cfg = Wav2Vec2Config(
+        vocab_size=32, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128,
+        conv_dim=(32, 32), conv_stride=(5, 2), conv_kernel=(10, 3),
+        conv_bias=True, feat_extract_norm="layer",
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=True, feat_proj_dim=32,
+    )
+    model = _hf_model(cfg, seed=2)
+    params = convert_wav2vec2_state_dict(model.state_dict(), cfg)
+    a = rng.standard_normal(1600).astype(np.float32)
+    b = rng.standard_normal(1000).astype(np.float32)
+    alone = np.asarray(wav2vec2_logits(params, cfg, jnp.asarray(b)[None]))
+    batch = np.zeros((2, 1600), np.float32)
+    batch[0] = a
+    batch[1, :1000] = b
+    lengths = jnp.asarray([1600, 1000])
+    both = np.asarray(wav2vec2_logits(params, cfg, jnp.asarray(batch), lengths))
+    t_b = cfg.frames_for_samples(1000)
+    np.testing.assert_allclose(both[1, :t_b], alone[0], rtol=1e-3, atol=1e-4)
