@@ -152,6 +152,9 @@ class TestSetConfig:
     seed: int = 0
 
 
+TestSetConfig.__test__ = False  # keep pytest from collecting the dataclass
+
+
 @dataclasses.dataclass(frozen=True)
 class MetricConfig:
     """eta_raw / WER settings.

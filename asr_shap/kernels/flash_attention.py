@@ -1,0 +1,313 @@
+"""Fused multi-head attention for TPU (Pallas) with a flash-style custom VJP.
+
+Why this kernel exists: the explainer batches T_frames cotangents through the
+attention backward (one batched VJP per draw, explain/expected_gradients.py),
+so the XLA path would materialize softmax probabilities of shape
+[draws*T, H, T, T] in HBM — gigabytes per layer at reference audio lengths.
+This kernel keeps scores/probabilities in VMEM in both directions; HBM only
+sees q/k/v/o-sized tensors plus a per-row logsumexp residual.
+
+Structure (seq lengths here are ASR frame counts, ~50-2500):
+  forward : grid (B*H, T/bq) — one q-block against full K/V in VMEM,
+            single-pass softmax with saved logsumexp
+  backward: two kernels — dq over q-blocks, dk/dv over kv-blocks — the
+            standard flash backward with score recomputation from residuals
+
+Supports the additive bias form the models use ([B, 1, 1, T] padding mask).
+Runs in interpreter mode automatically off-TPU (CPU tests), so the same code
+path is exercised everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# ---------------------------------------------------------------- forward
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale, t_actual):
+    q = q_ref[0].astype(jnp.float32)          # [bq, D]
+    k = k_ref[0].astype(jnp.float32)          # [T, D]
+    v = v_ref[0].astype(jnp.float32)          # [T, D]
+    s = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                          # [bq, T]
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)  # [1, T] broadcast
+    # mask padded kv columns
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < t_actual, s, _NEG_INF)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / l
+    o_ref[0] = o.astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, 0].astype(jnp.float32)
+
+
+def _fwd(q3, k3, v3, bias2, scale, block_q, interpret, t_actual):
+    """q3/k3/v3: [BH, Tpad, D], bias2: [BH, Tpad] or None."""
+    bh, t_pad, d = q3.shape
+    nq = t_pad // block_q
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q3, k3, v3]
+    if bias2 is not None:
+        in_specs.append(
+            pl.BlockSpec((1, t_pad), lambda b, i: (b, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(bias2)
+        kernel = _fwd_kernel
+    else:
+        kernel = lambda q, k, v, o, lse, **kw: _fwd_kernel(q, k, v, None, o, lse, **kw)
+
+    return pl.pallas_call(
+        functools.partial(kernel, scale=scale, t_actual=t_actual),
+        grid=(bh, nq),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------- backward
+
+def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, dd_ref, dq_ref,
+               *, scale, t_actual):
+    q = q_ref[0].astype(jnp.float32)      # [bq, D]
+    k = k_ref[0].astype(jnp.float32)      # [T, D]
+    v = v_ref[0].astype(jnp.float32)      # [T, D]
+    g = g_ref[0].astype(jnp.float32)      # [bq, D]
+    lse = lse_ref[0][:, None]             # [bq, 1]
+    dd = dd_ref[0][:, None]               # [bq, 1]
+
+    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < t_actual, s, _NEG_INF)
+    p = jnp.exp(s - lse)                  # [bq, T]
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - dd)
+    dq = scale * jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, dd_ref,
+                dk_ref, dv_ref, *, scale, t_actual):
+    q = q_ref[0].astype(jnp.float32)      # [T, D]
+    k = k_ref[0].astype(jnp.float32)      # [bk, D]
+    v = v_ref[0].astype(jnp.float32)      # [bk, D]
+    g = g_ref[0].astype(jnp.float32)      # [T, D]
+    lse = lse_ref[0][None, :]             # [1, T]
+    dd = dd_ref[0][None, :]               # [1, T]
+
+    # transposed scores: [bk, T_q]
+    st = jax.lax.dot_general(k, q * scale, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if bias_ref is not None:
+        st = st + bias_ref[0].astype(jnp.float32)[:, None]  # [bk, 1]
+    row_q = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+    st = jnp.where(row_q < t_actual, st, _NEG_INF)
+    pt = jnp.exp(st - lse)                # [bk, Tq]
+    dv = jax.lax.dot_general(pt, g, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dpt = jax.lax.dot_general(v, g, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [bk, Tq]
+    dst = pt * (dpt - dd)
+    dk = scale * jax.lax.dot_general(dst, q, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd(block_q, interpret, scale, res, g4):
+    q3, k3, v3, bias2, bias_orig, o3, lse = res
+    bh, t_pad, d = q3.shape
+    t_actual = g4.shape[2]
+    g3 = _pad_to(g4.reshape(-1, t_actual, d), t_pad, 1)
+
+    dd = jnp.sum(g3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1)  # [BH, Tpad]
+
+    nq = t_pad // block_q
+    common_specs = dict(memory_space=pltpu.VMEM)
+
+    def blk(shape, imap):
+        return pl.BlockSpec(shape, imap, **common_specs)
+
+    # dq: blocked over q
+    in_specs = [
+        blk((1, block_q, d), lambda b, i: (b, i, 0)),   # q
+        blk((1, t_pad, d), lambda b, i: (b, 0, 0)),     # k
+        blk((1, t_pad, d), lambda b, i: (b, 0, 0)),     # v
+    ]
+    args = [q3, k3, v3]
+    if bias2 is not None:
+        in_specs.append(blk((1, t_pad), lambda b, i: (b, 0)))
+        args.append(bias2)
+        dq_kernel = _dq_kernel
+    else:
+        dq_kernel = lambda q, k, v, g, l, dd_, dq, **kw: _dq_kernel(
+            q, k, v, None, g, l, dd_, dq, **kw
+        )
+    in_specs += [
+        blk((1, block_q, d), lambda b, i: (b, i, 0)),   # g
+        blk((1, block_q), lambda b, i: (b, i)),         # lse
+        blk((1, block_q), lambda b, i: (b, i)),         # dd
+    ]
+    dq3 = pl.pallas_call(
+        functools.partial(dq_kernel, scale=scale, t_actual=t_actual),
+        grid=(bh, nq),
+        in_specs=in_specs,
+        out_specs=blk((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+        interpret=interpret,
+    )(*args, g3, lse, dd)
+
+    # dk/dv: blocked over kv
+    in_specs2 = [
+        blk((1, t_pad, d), lambda b, i: (b, 0, 0)),     # q
+        blk((1, block_q, d), lambda b, i: (b, i, 0)),   # k
+        blk((1, block_q, d), lambda b, i: (b, i, 0)),   # v
+    ]
+    args2 = [q3, k3, v3]
+    if bias2 is not None:
+        in_specs2.append(blk((1, block_q), lambda b, i: (b, i)))
+        args2.append(bias2)
+        dkv_kernel = _dkv_kernel
+    else:
+        dkv_kernel = lambda q, k, v, g, l, dd_, dk, dv, **kw: _dkv_kernel(
+            q, k, v, None, g, l, dd_, dk, dv, **kw
+        )
+    in_specs2 += [
+        blk((1, t_pad, d), lambda b, i: (b, 0, 0)),     # g
+        blk((1, t_pad), lambda b, i: (b, 0)),           # lse
+        blk((1, t_pad), lambda b, i: (b, 0)),           # dd
+    ]
+    dk3, dv3 = pl.pallas_call(
+        functools.partial(dkv_kernel, scale=scale, t_actual=t_actual),
+        grid=(bh, nq),
+        in_specs=in_specs2,
+        out_specs=(
+            blk((1, block_q, d), lambda b, i: (b, i, 0)),
+            blk((1, block_q, d), lambda b, i: (b, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t_pad, d), k3.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), v3.dtype),
+        ),
+        interpret=interpret,
+    )(*args2, g3, lse, dd)
+
+    b = g4.shape[0]
+    h = g4.shape[1]
+
+    def unshape(x3):
+        return x3[:, :t_actual].reshape(b, h, t_actual, d)
+
+    # bias is a constant mask; its cotangent must still match its structure
+    dbias = None if bias_orig is None else jnp.zeros_like(bias_orig)
+    return unshape(dq3), unshape(dk3), unshape(dv3), dbias
+
+
+# ---------------------------------------------------------------- public op
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, bias, block_q, interpret):
+    out, _ = _flash_fwd(q, k, v, bias, block_q, interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, bias, block_q, interpret):
+    b, h, t, d = q.shape
+    scale = d**-0.5
+    t_pad = -(-t // block_q) * block_q
+
+    def flat(x):
+        return _pad_to(x.reshape(b * h, t, d), t_pad, 1)
+
+    q3, k3, v3 = flat(q), flat(k), flat(v)
+    bias2 = None
+    if bias is not None:
+        # [B, 1, 1, T] additive mask -> [BH, Tpad] (pad with -inf)
+        bias2 = jnp.broadcast_to(bias[:, 0, 0, :], (b, t))
+        bias2 = jnp.repeat(bias2, h, axis=0)
+        bias2 = jnp.pad(bias2, ((0, 0), (0, t_pad - t)), constant_values=_NEG_INF)
+        bias2 = bias2.astype(jnp.float32)
+
+    o3, lse = _fwd(q3, k3, v3, bias2, scale, block_q, interpret, t)
+    out = o3[:, :t].reshape(b, h, t, d)
+    return out, (q3, k3, v3, bias2, bias, o3, lse)
+
+
+def _flash_bwd(block_q, interpret, res, g):
+    q3, *_ = res
+    d = q3.shape[-1]
+    scale = d**-0.5
+    return _bwd(block_q, interpret, scale, res, g)
+
+
+_flash.defvjp(
+    lambda q, k, v, bias, block_q, interpret: _flash_fwd(
+        q, k, v, bias, block_q, interpret
+    ),
+    _flash_bwd,
+)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    block_q: int = 128,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused attention over [B, H, T, D]; bias is an optional additive
+    [B, 1, 1, T] mask. Differentiable (flash backward)."""
+    if interpret is None:
+        interpret = _use_interpret()
+    block_q = min(block_q, max(8, 1 << (q.shape[2] - 1).bit_length()))
+    return _flash(q, k, v, bias, block_q, interpret)

@@ -1,0 +1,136 @@
+"""Benchmark: SHAP perturbation throughput on the flagship model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Protocol (BASELINE.md): the reference computes expected-gradients SHAP with
+a fully serial loop — one model forward+backward per (draw, output-frame)
+pair at batch_size=1 (shap_calculation.py:133; runtime_analysis.py length
+sweep). The work unit is therefore one "perturbation pass" = one
+forward+backward of Wav2Vec2-base at the given audio length, and the metric
+is perturbation passes/sec/chip.
+
+  value       = effective passes/sec on this chip
+                (draws x T_frames per explanation / wall-clock)
+  vs_baseline = value / (serial torch-CPU passes/sec measured in-process,
+                the reference's `cuda if available else cpu` path on this
+                host — reference hardware is unspecified, BASELINE.md)
+
+Env overrides: BENCH_AUDIO_LEN (default 48000), BENCH_NSAMPLES (default 32),
+BENCH_TORCH_PASSES (default 2), BENCH_SKIP_TORCH=1 to reuse the cached
+baseline in .bench_baseline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+AUDIO_LEN = int(os.environ.get("BENCH_AUDIO_LEN", 48000))
+NSAMPLES = int(os.environ.get("BENCH_NSAMPLES", 32))
+TORCH_PASSES = int(os.environ.get("BENCH_TORCH_PASSES", 2))
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+
+
+def measure_ours() -> tuple[float, int]:
+    import jax
+    import jax.numpy as jnp
+
+    from asr_shap.core.config import ExplainerConfig, Wav2Vec2Config
+    from asr_shap.explain.baselines import zeros_noise_background
+    from asr_shap.explain.expected_gradients import expected_gradients
+    from asr_shap.models.heads import make_explained_fn
+    from asr_shap.models.wav2vec2 import init_wav2vec2_params
+
+    cfg = Wav2Vec2Config(
+        matmul_precision=os.environ.get("BENCH_PRECISION", "highest")
+    )
+    t_frames = cfg.frames_for_samples(AUDIO_LEN)
+    params = init_wav2vec2_params(jax.random.key(0), cfg)
+
+    ecfg = ExplainerConfig(
+        nsamples=NSAMPLES,
+        draw_chunk=int(os.environ.get("BENCH_DRAW_CHUNK", 1)),
+        output_chunk=int(os.environ.get("BENCH_OUTPUT_CHUNK", 0)),
+        num_background=5,
+        remat=True,
+    )
+    f = make_explained_fn(params, cfg, ecfg)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(AUDIO_LEN).astype(np.float32))
+    bg = zeros_noise_background(jax.random.key(1), AUDIO_LEN, 5, 0.01)
+
+    run = jax.jit(lambda xx, kk: expected_gradients(f, xx, bg, kk, ecfg).values)
+    # compile + warmup
+    phi = run(x, jax.random.key(2))
+    phi.block_until_ready()
+
+    t0 = time.perf_counter()
+    phi = run(x, jax.random.key(3))
+    phi.block_until_ready()
+    wall = time.perf_counter() - t0
+
+    chunk = max(1, ecfg.draw_chunk)
+    total_draws = -(-NSAMPLES // chunk) * chunk
+    passes = total_draws * t_frames
+    return passes / wall, t_frames
+
+
+def measure_torch_baseline(t_frames: int) -> float:
+    """Serial reference-style loop: one fwd+bwd w.r.t. the input per pass,
+    batch 1, torch CPU (the reference's device fallback)."""
+    import torch
+    from transformers import Wav2Vec2Config as HFConfig, Wav2Vec2ForCTC
+
+    torch.manual_seed(0)
+    model = Wav2Vec2ForCTC(HFConfig(apply_spec_augment=False, layerdrop=0.0))
+    model.eval()
+    x = torch.randn(1, AUDIO_LEN, requires_grad=True)
+
+    def one_pass():
+        out = model(x).logits.max(dim=-1).values  # aggregation head
+        g = torch.autograd.grad(out.sum(), x)[0]
+        return g
+
+    one_pass()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(TORCH_PASSES):
+        one_pass()
+    wall = time.perf_counter() - t0
+    return TORCH_PASSES / wall
+
+
+def main():
+    ours, t_frames = measure_ours()
+
+    baseline = None
+    if os.environ.get("BENCH_SKIP_TORCH") and os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            baseline = json.load(fh).get("passes_per_sec")
+    if baseline is None:
+        try:
+            baseline = measure_torch_baseline(t_frames)
+            with open(BASELINE_CACHE, "w") as fh:
+                json.dump(
+                    {"passes_per_sec": baseline, "audio_len": AUDIO_LEN}, fh
+                )
+        except Exception as e:  # torch unavailable on some targets
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+            baseline = float("nan")
+
+    result = {
+        "metric": f"SHAP perturbation fwd+bwd passes/sec/chip (wav2vec2-base, {AUDIO_LEN} samples)",
+        "value": round(ours, 2),
+        "unit": "passes/sec",
+        "vs_baseline": round(ours / baseline, 2) if baseline == baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

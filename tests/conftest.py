@@ -4,10 +4,15 @@ sharding (mesh/pjit/shard_map paths) is exercised without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Force CPU with 8 virtual devices. env vars are NOT enough here: the
+# environment's sitecustomize imports jax at interpreter startup (capturing
+# JAX_PLATFORMS=axon), so only jax.config.update takes effect.
+# Set ASR_SHAP_TEST_TPU=1 to deliberately run the suite on real hardware.
+if not os.environ.get("ASR_SHAP_TEST_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,99 @@
+"""End-to-end pipeline tests on a tiny model: test-set generation semantics,
+attribution run + npy persistence contract, resume, and the eta_raw/WER sweep
+(the synthetic-SNR ITM oracle from SURVEY.md section 4)."""
+
+import numpy as np
+import jax
+import pytest
+
+from asr_shap.core.config import (
+    ExplainerConfig,
+    MetricConfig,
+    PipelineConfig,
+    TestSetConfig,
+)
+from asr_shap.core.store import AttributionStore
+from asr_shap.models import init_wav2vec2_params
+from asr_shap.pipeline import create_test_set, eta_wer_sweep, run_shap_pipeline
+from asr_shap.pipeline.testset import synthetic_speech
+
+
+@pytest.fixture(scope="module")
+def tiny_testset():
+    cfg = TestSetConfig(num_samples=1, snrs_db=(2.0,), min_length=1200,
+                        max_length=1600, seed=0)
+    return cfg, create_test_set(cfg, source=None)
+
+
+def test_testset_structure(tiny_testset):
+    cfg, ts = tiny_testset
+    # one clean + one noisy per clip (shap_calculation.py:80-105)
+    assert len(ts) == 2
+    clean, noisy = ts
+    assert clean["type"] == "clean" and np.isinf(clean["snr"])
+    assert np.all(clean["noise"] == 0)
+    assert noisy["type"] == "noisy" and noisy["snr"] == 2.0
+    # noise = noisy - clean holds exactly
+    np.testing.assert_allclose(
+        noisy["audio"] - noisy["noise"], clean["audio"], atol=1e-6
+    )
+    # realized SNR near target
+    snr = 10 * np.log10(
+        np.mean(clean["audio"] ** 2) / np.mean(noisy["noise"] ** 2)
+    )
+    assert abs(snr - 2.0) < 0.5
+
+
+def test_testset_deterministic():
+    cfg = TestSetConfig(num_samples=1, snrs_db=(5.0,), min_length=800,
+                        max_length=800, seed=3)
+    a = create_test_set(cfg)
+    b = create_test_set(cfg)
+    np.testing.assert_array_equal(a[1]["audio"], b[1]["audio"])
+
+
+def test_synthetic_speech_has_structure():
+    sig = synthetic_speech(jax.random.key(0), 16000)
+    assert sig.shape == (16000,)
+    assert np.abs(sig).max() <= 0.5 + 1e-5
+    # pause structure: some 250ms blocks silent, some loud
+    blocks = sig[: 16000 // 4000 * 4000].reshape(-1, 4000)
+    energies = (blocks**2).mean(axis=1)
+    assert energies.min() < 0.01 * energies.max()
+
+
+def test_run_pipeline_and_sweep(tiny_testset, tiny_config, tmp_path):
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    pcfg = PipelineConfig(
+        model=tiny_config,
+        explainer=ExplainerConfig(nsamples=2, draw_chunk=2, num_background=2),
+        testset=cfg,
+        data_dir=str(tmp_path),
+    )
+    store = AttributionStore(str(tmp_path))
+    results = run_shap_pipeline(params, pcfg, ts, store)
+    assert len(results) == 2
+
+    # npy naming contract (shap_calculation.py:199-210)
+    names = sorted(p.name for p in tmp_path.glob("*.npy"))
+    assert "audio_sample_0_clean_inf.npy" in names
+    assert "shap_values_sample_1_noisy_2.npy" in names
+
+    # matrix layout [N_audio, T_frames] (visualization.py:337-344)
+    phi = results[0]["shap_values"]
+    n = len(ts[0]["audio"])
+    assert phi.shape == (n, tiny_config.frames_for_samples(n))
+    assert np.isfinite(phi).all()
+
+    # resume: second run computes nothing new
+    again = run_shap_pipeline(params, pcfg, ts, store)
+    assert again == []
+
+    # sweep over the store
+    records = eta_wer_sweep(params, tiny_config, store,
+                            MetricConfig(segment_ms=20.0))
+    assert len(records) == 2
+    for r in records:
+        assert 0.0 <= r["eta_raw"] <= 1.0
+        assert np.isfinite(r["wer"])
