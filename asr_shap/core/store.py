@@ -68,10 +68,25 @@ class AttributionStore:
         shap_values: np.ndarray,
         text: str,
     ) -> None:
-        np.save(self._path(key, "audio"), np.asarray(audio))
-        np.save(self._path(key, "noise"), np.asarray(noise))
-        np.save(self._path(key, "shap_values"), np.asarray(shap_values))
+        self._save_array(self._path(key, "audio"), np.asarray(audio))
+        self._save_array(self._path(key, "noise"), np.asarray(noise))
+        self._save_array(self._path(key, "shap_values"), np.asarray(shap_values))
         np.save(self._path(key, "text"), np.asarray(text))
+
+    @staticmethod
+    def _save_array(path: str, arr: np.ndarray) -> None:
+        """float32 arrays go through the native GIL-free npy writer when
+        built (the shap matrix is ~110 MB/sample, SURVEY.md section 3.1);
+        anything else through np.save."""
+        if arr.dtype == np.float32 and arr.ndim in (1, 2):
+            try:
+                from asr_shap.native import write_npy_f32_native
+
+                if write_npy_f32_native(path, arr):
+                    return
+            except Exception:
+                pass
+        np.save(path, arr)
 
     def load(self, key: SampleKey) -> Dict[str, object]:
         out: Dict[str, object] = {}

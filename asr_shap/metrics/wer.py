@@ -45,11 +45,29 @@ def word_edit_counts(
     return s, d, a, h
 
 
+def _tokenize_pair(ref_w: Sequence[str], hyp_w: Sequence[str]):
+    ids: dict = {}
+    def enc(ws):
+        return [ids.setdefault(w, len(ids)) for w in ws]
+    return enc(ref_w), enc(hyp_w)
+
+
 def wer(reference: str, hypothesis: str) -> float:
-    """WER = (S + D + I) / len(reference words), jiwer semantics."""
+    """WER = (S + D + I) / len(reference words), jiwer semantics.
+
+    Uses the native C++ scorer (asr_shap.native) when built; pure-Python
+    Wagner-Fischer otherwise — both produce identical counts (tested)."""
     ref_w = _words(reference)
     hyp_w = _words(hypothesis)
     if not ref_w:
         raise ValueError("reference must contain at least one word")
-    s, d, i, _ = word_edit_counts(ref_w, hyp_w)
+    try:
+        from asr_shap.native import wer_counts_native
+
+        counts = wer_counts_native(*_tokenize_pair(ref_w, hyp_w))
+    except Exception:
+        counts = None
+    if counts is None:
+        counts = word_edit_counts(ref_w, hyp_w)
+    s, d, i, _ = counts
     return (s + d + i) / len(ref_w)

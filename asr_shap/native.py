@@ -1,0 +1,118 @@
+"""ctypes bindings for the native host runtime (native/asr_shap_native.cpp).
+
+Loads ``libasr_shap_native.so`` if present (``make -C native``), attempting a
+one-time build when a compiler is available; every consumer has a pure-Python
+fallback, so the framework works without the library.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libasr_shap_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True,
+                capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.wer_counts.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.batch_wer_counts.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.write_npy_f32.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.write_npy_f32.restype = ctypes.c_int32
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def wer_counts_native(
+    ref_ids: Sequence[int], hyp_ids: Sequence[int]
+) -> Optional[Tuple[int, int, int, int]]:
+    lib = _load()
+    if lib is None:
+        return None
+    ref = np.ascontiguousarray(ref_ids, dtype=np.int32)
+    hyp = np.ascontiguousarray(hyp_ids, dtype=np.int32)
+    out = np.zeros(4, np.int32)
+    lib.wer_counts(_i32ptr(ref), len(ref), _i32ptr(hyp), len(hyp), _i32ptr(out))
+    return tuple(int(v) for v in out)
+
+
+def batch_wer_native(
+    refs: List[Sequence[int]], hyps: List[Sequence[int]]
+) -> Optional[np.ndarray]:
+    """[n, 4] (S, D, I, H) counts per pair, or None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    ref_lens = np.asarray([len(r) for r in refs], np.int32)
+    hyp_lens = np.asarray([len(h) for h in hyps], np.int32)
+    refs_c = np.ascontiguousarray(
+        np.concatenate([np.asarray(r, np.int32) for r in refs])
+        if refs and sum(ref_lens) else np.zeros(0, np.int32)
+    )
+    hyps_c = np.ascontiguousarray(
+        np.concatenate([np.asarray(h, np.int32) for h in hyps])
+        if hyps and sum(hyp_lens) else np.zeros(0, np.int32)
+    )
+    out = np.zeros((len(refs), 4), np.int32)
+    lib.batch_wer_counts(
+        _i32ptr(refs_c), _i32ptr(ref_lens), _i32ptr(hyps_c), _i32ptr(hyp_lens),
+        len(refs), _i32ptr(out),
+    )
+    return out
+
+
+def write_npy_f32_native(path: str, array: np.ndarray) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    a = np.ascontiguousarray(array, dtype=np.float32)
+    rows = a.shape[0] if a.ndim >= 1 else 1
+    cols = a.shape[1] if a.ndim == 2 else -1
+    if a.ndim > 2:
+        return False
+    rc = lib.write_npy_f32(
+        path.encode(), a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rows, cols,
+    )
+    return rc == 0

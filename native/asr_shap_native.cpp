@@ -1,0 +1,101 @@
+// asr_shap native host runtime: batch WER scoring and attribution persistence.
+//
+// The TPU owns all model/explainer compute (JAX/XLA/Pallas); what remains on
+// the host in a full-test-set sweep is (a) word-level Levenshtein over many
+// transcript pairs (nraw_vs_wer.py:82 capability) and (b) writing the large
+// [N_audio x T_frames] attribution matrices (~110 MB/sample at 6 s,
+// SURVEY.md section 3.1) to the data/ npy store. Both run here without the
+// GIL so they overlap with device compute; metrics/wer.py and core/store.py
+// fall back to pure Python when the library isn't built.
+//
+// Build: make -C native    (produces libasr_shap_native.so)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+// Word-level Levenshtein with operation counts.
+// ref/hyp are token-id sequences (any stable word->id mapping).
+// out4 = {substitutions, deletions, insertions, hits}.
+void wer_counts(const int32_t* ref, int32_t nref, const int32_t* hyp,
+                int32_t nhyp, int32_t* out4) {
+  struct Cell {
+    int32_t cost, s, d, i, h;
+  };
+  std::vector<Cell> prev(nhyp + 1), cur(nhyp + 1);
+  for (int32_t j = 0; j <= nhyp; ++j) prev[j] = {j, 0, 0, j, 0};
+  for (int32_t r = 1; r <= nref; ++r) {
+    cur[0] = {r, 0, r, 0, 0};
+    const int32_t rt = ref[r - 1];
+    for (int32_t j = 1; j <= nhyp; ++j) {
+      if (rt == hyp[j - 1]) {
+        const Cell& p = prev[j - 1];
+        cur[j] = {p.cost, p.s, p.d, p.i, p.h + 1};
+      } else {
+        const Cell& sub = prev[j - 1];
+        const Cell& del = prev[j];
+        const Cell& ins = cur[j - 1];
+        int32_t best = sub.cost < del.cost ? sub.cost : del.cost;
+        if (ins.cost < best) best = ins.cost;
+        if (sub.cost == best)
+          cur[j] = {sub.cost + 1, sub.s + 1, sub.d, sub.i, sub.h};
+        else if (del.cost == best)
+          cur[j] = {del.cost + 1, del.s, del.d + 1, del.i, del.h};
+        else
+          cur[j] = {ins.cost + 1, ins.s, ins.d, ins.i + 1, ins.h};
+      }
+    }
+    std::swap(prev, cur);
+  }
+  out4[0] = prev[nhyp].s;
+  out4[1] = prev[nhyp].d;
+  out4[2] = prev[nhyp].i;
+  out4[3] = prev[nhyp].h;
+}
+
+// Batch variant over flattened, length-delimited sequences.
+// refs/hyps: concatenated token ids; ref_lens/hyp_lens: per-pair lengths.
+// out: [n_pairs, 4] counts.
+void batch_wer_counts(const int32_t* refs, const int32_t* ref_lens,
+                      const int32_t* hyps, const int32_t* hyp_lens,
+                      int32_t n_pairs, int32_t* out) {
+  int64_t ro = 0, ho = 0;
+  for (int32_t i = 0; i < n_pairs; ++i) {
+    wer_counts(refs + ro, ref_lens[i], hyps + ho, hyp_lens[i], out + 4 * i);
+    ro += ref_lens[i];
+    ho += hyp_lens[i];
+  }
+}
+
+// Write a float32 C-order matrix as .npy (format 1.0). Returns 0 on success.
+int32_t write_npy_f32(const char* path, const float* data, int64_t rows,
+                      int64_t cols) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  std::string shape = cols >= 0
+      ? "(" + std::to_string(rows) + ", " + std::to_string(cols) + ", )"
+      : "(" + std::to_string(rows) + ",)";
+  std::string header = "{'descr': '<f4', 'fortran_order': False, 'shape': " +
+                       shape + ", }";
+  // pad so magic(6)+ver(2)+hlen(2)+header is a multiple of 64, '\n'-terminated
+  size_t base = 6 + 2 + 2;
+  size_t total = base + header.size() + 1;
+  size_t pad = (64 - (total % 64)) % 64;
+  header.append(pad, ' ');
+  header.push_back('\n');
+  const unsigned char magic[8] = {0x93, 'N', 'U', 'M', 'P', 'Y', 1, 0};
+  uint16_t hlen = static_cast<uint16_t>(header.size());
+  int ok = std::fwrite(magic, 1, 8, f) == 8 &&
+           std::fwrite(&hlen, 2, 1, f) == 1 &&
+           std::fwrite(header.data(), 1, header.size(), f) == header.size();
+  int64_t n = rows * (cols >= 0 ? cols : 1);
+  ok = ok && std::fwrite(data, sizeof(float), n, f) == static_cast<size_t>(n);
+  std::fclose(f);
+  return ok ? 0 : -2;
+}
+
+}  // extern "C"

@@ -1,0 +1,74 @@
+"""Native host-runtime tests: C++ WER counts vs the pure-Python DP, npy
+writer vs np.load round-trip. Skipped when no compiler/library is available
+(every consumer has a Python fallback)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from asr_shap import native
+from asr_shap.metrics.wer import _words, word_edit_counts, wer
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built"
+)
+
+
+def test_wer_counts_match_python(rng):
+    vocab = [f"w{i}" for i in range(20)]
+    for _ in range(50):
+        ref = [vocab[i] for i in rng.integers(0, 20, rng.integers(1, 30))]
+        hyp = [vocab[i] for i in rng.integers(0, 20, rng.integers(0, 30))]
+        ids = {}
+        enc = lambda ws: [ids.setdefault(w, len(ids)) for w in ws]
+        r, h = enc(ref), enc(hyp)
+        got = native.wer_counts_native(r, h)
+        want = word_edit_counts(ref, hyp)
+        assert got == want, (ref, hyp, got, want)
+
+
+def test_batch_wer(rng):
+    refs = [[1, 2, 3], [4, 5], [1]]
+    hyps = [[1, 2, 3], [4, 6], []]
+    out = native.batch_wer_native(refs, hyps)
+    assert out.shape == (3, 4)
+    # identical -> 3 hits, no edits
+    assert tuple(out[0]) == (0, 0, 0, 3)
+    # one substitution
+    assert tuple(out[1]) == (1, 0, 0, 1)
+    # one deletion
+    assert tuple(out[2]) == (0, 1, 0, 0)
+
+
+def test_wer_end_to_end_uses_native():
+    assert wer("the cat sat", "the dog sat") == pytest.approx(1 / 3)
+    assert wer("a b c d", "a b d") == pytest.approx(1 / 4)
+
+
+def test_npy_writer_roundtrip(rng):
+    with tempfile.TemporaryDirectory() as d:
+        for shape in [(100,), (64, 49)]:
+            a = rng.standard_normal(shape).astype(np.float32)
+            p = os.path.join(d, "x.npy")
+            assert native.write_npy_f32_native(p, a)
+            back = np.load(p)
+            np.testing.assert_array_equal(back, a)
+            assert back.dtype == np.float32
+
+
+def test_npy_writer_matches_store(rng):
+    from asr_shap.core.store import AttributionStore, key_for
+
+    with tempfile.TemporaryDirectory() as d:
+        store = AttributionStore(d)
+        k = key_for(0, "clean", float("inf"))
+        phi = rng.standard_normal((200, 7)).astype(np.float32)
+        audio = rng.standard_normal(200).astype(np.float32)
+        store.save(k, audio, np.zeros_like(audio), phi, "HELLO")
+        back = store.load(k)
+        np.testing.assert_array_equal(back["shap_values"], phi)
+        np.testing.assert_array_equal(back["audio"], audio)
+        assert back["text"] == "HELLO"
