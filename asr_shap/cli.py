@@ -1,0 +1,247 @@
+"""Command-line entry points — the reference's per-script UX
+(README.md:31-77: shap_calculation.py, nraw_vs_wer.py, calculate_metric.py,
+visualization.py) consolidated into subcommands of ``python -m asr_shap``,
+flag-driven instead of module-level side effects and input() prompts
+(SURVEY.md section 1 CLI-layer note calls those out as anti-patterns).
+
+  run-shap   : build the controlled test set, compute+persist attributions
+  sweep      : eta_raw-vs-WER sweep over data/ (+ scatter plot)
+  metric     : single-sample eta_raw from stored npy files
+  visualize  : interactive per-character attribution viewer
+  bench      : explainer runtime-vs-length sweep
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def _add_model_args(ap):
+    ap.add_argument("--params", type=str, default=None,
+                    help=".npz params (core/params_io.py)")
+    ap.add_argument("--hf", type=str, default=None,
+                    help="HF checkpoint name/path (needs torch+network/cache)")
+    ap.add_argument("--random-init", action="store_true",
+                    help="random weights (smoke runs / benchmarks)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny architecture (CPU smoke runs)")
+
+
+def _load_model(args):
+    import jax
+
+    from asr_shap.core.config import Wav2Vec2Config
+
+    if args.tiny:
+        cfg = Wav2Vec2Config(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=128, conv_dim=(32, 32), conv_stride=(5, 2),
+            conv_kernel=(10, 3), num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4, feat_proj_dim=32,
+        )
+    else:
+        cfg = Wav2Vec2Config()
+
+    if args.hf:
+        from asr_shap.models.convert_hf import load_pretrained
+
+        return load_pretrained(args.hf)
+    if args.params:
+        from asr_shap.core.params_io import load_params
+
+        return load_params(args.params), cfg
+    if not args.random_init:
+        logging.warning(
+            "no --params/--hf given; falling back to random init "
+            "(transcripts will be garbage — fine for runtime testing)"
+        )
+    from asr_shap.models.wav2vec2 import init_wav2vec2_params
+
+    return init_wav2vec2_params(jax.random.key(0), cfg), cfg
+
+
+def cmd_run_shap(args):
+    from asr_shap.core.config import (
+        ExplainerConfig, PipelineConfig, TestSetConfig,
+    )
+    from asr_shap.core.store import AttributionStore
+    from asr_shap.parallel.mesh import make_mesh
+    from asr_shap.pipeline.run_shap import run_shap_pipeline
+    from asr_shap.pipeline.testset import create_test_set
+
+    params, cfg = _load_model(args)
+    tcfg = TestSetConfig(num_samples=args.num_samples, snrs_db=tuple(args.snrs),
+                         min_length=args.min_length, max_length=args.max_length,
+                         seed=args.seed)
+    pcfg = PipelineConfig(
+        model=cfg,
+        explainer=ExplainerConfig(nsamples=args.nsamples,
+                                  draw_chunk=args.draw_chunk),
+        testset=tcfg, data_dir=args.data_dir, seed=args.seed,
+    )
+    test_set = create_test_set(tcfg)
+    mesh = None
+    if args.mesh:
+        import jax
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
+    store = AttributionStore(args.data_dir)
+    results = run_shap_pipeline(params, pcfg, test_set, store, mesh=mesh,
+                                resume=not args.no_resume)
+    print(json.dumps({
+        "computed": len(results),
+        "total_wall_s": round(sum(r["wall_s"] for r in results), 2),
+        "data_dir": args.data_dir,
+    }))
+
+
+def cmd_sweep(args):
+    from asr_shap.core.config import MetricConfig
+    from asr_shap.core.store import AttributionStore
+    from asr_shap.pipeline.sweep import correlation, eta_wer_sweep
+
+    params, cfg = _load_model(args)
+    store = AttributionStore(args.data_dir)
+    mcfg = MetricConfig(segment_ms=args.segment_ms, percentile=args.percentile,
+                        itm_variant=args.itm)
+    records = eta_wer_sweep(params, cfg, store, mcfg)
+    for r in records:
+        print(json.dumps(r))
+    corr = correlation(records)
+    print(json.dumps({"pearson_r": corr, "n": len(records)}))
+    if args.plot:
+        from asr_shap.viz.static import plot_eta_wer_scatter
+
+        plot_eta_wer_scatter(records, out_path=args.plot)
+        print(f"wrote {args.plot}")
+
+
+def cmd_metric(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asr_shap.core.config import MetricConfig
+    from asr_shap.metrics.eta_raw import eta_raw
+
+    mixed = np.load(args.audio)
+    noise = np.load(args.noise)
+    shap = np.load(args.shap)
+    clean = mixed - noise
+    mcfg = MetricConfig(segment_ms=args.segment_ms, percentile=args.percentile,
+                        itm_variant=args.itm)
+    val = float(eta_raw(jnp.asarray(clean), jnp.asarray(noise),
+                        jnp.asarray(shap), mcfg))
+    print(json.dumps({"eta_raw": val, "segment_ms": args.segment_ms,
+                      "percentile": args.percentile, "itm": args.itm}))
+
+
+def cmd_visualize(args):
+    import numpy as np
+
+    from asr_shap.core.store import AttributionStore
+    from asr_shap.viz.interactive import AttributionViewer, load_attribution_view
+
+    params, cfg = _load_model(args)
+    store = AttributionStore(args.data_dir)
+    keys = store.keys()
+    if not keys:
+        sys.exit(f"no samples found in {args.data_dir}")
+    key = keys[args.sample]
+    data = store.load(key)
+    view = load_attribution_view(params, cfg, np.asarray(data["audio"]),
+                                 np.asarray(data["shap_values"]))
+    viewer = AttributionViewer(view)
+    if args.save:
+        viewer.savefig(args.save)
+        print(f"wrote {args.save}")
+    else:
+        viewer.show()
+
+
+def cmd_bench(args):
+    from asr_shap.pipeline.benchmarks import run_length_sweep
+
+    model_config = None
+    if args.tiny:
+        from asr_shap.core.config import Wav2Vec2Config
+
+        model_config = Wav2Vec2Config(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=128, conv_dim=(32, 32), conv_stride=(5, 2),
+            conv_kernel=(10, 3), num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4, feat_proj_dim=32,
+        )
+    run_length_sweep(lengths=tuple(args.lengths), nsamples=args.nsamples,
+                     model_config=model_config, plot_path=args.plot,
+                     json_path=args.json)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="asr_shap", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run-shap", help="compute+persist attributions")
+    _add_model_args(p)
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--num-samples", type=int, default=20)
+    p.add_argument("--snrs", type=float, nargs="+", default=[5.0, 2.0, 1.0])
+    p.add_argument("--min-length", type=int, default=100_000)
+    p.add_argument("--max-length", type=int, default=0)
+    p.add_argument("--nsamples", type=int, default=200)
+    p.add_argument("--draw-chunk", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", action="store_true", help="shard draws over devices")
+    p.add_argument("--no-resume", action="store_true")
+    p.set_defaults(fn=cmd_run_shap)
+
+    p = sub.add_parser("sweep", help="eta_raw-vs-WER sweep over data/")
+    _add_model_args(p)
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--segment-ms", type=float, default=0.0625)
+    p.add_argument("--percentile", type=float, default=99.0)
+    p.add_argument("--itm", choices=["strict", "half"], default="strict")
+    p.add_argument("--plot", type=str, default="wer_vs_eta_raw_plot.png")
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("metric", help="single-sample eta_raw")
+    p.add_argument("--audio", required=True)
+    p.add_argument("--noise", required=True)
+    p.add_argument("--shap", required=True)
+    p.add_argument("--segment-ms", type=float, default=0.0625)
+    p.add_argument("--percentile", type=float, default=99.0)
+    p.add_argument("--itm", choices=["strict", "half"], default="half")
+    p.set_defaults(fn=cmd_metric)
+
+    p = sub.add_parser("visualize", help="interactive attribution viewer")
+    _add_model_args(p)
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--sample", type=int, default=0)
+    p.add_argument("--save", type=str, default=None,
+                   help="render headless to this png instead of showing")
+    p.set_defaults(fn=cmd_visualize)
+
+    p = sub.add_parser("bench", help="runtime-vs-length sweep")
+    p.add_argument("--lengths", type=int, nargs="+",
+                   default=[2500, 5000, 10000, 20000, 40000, 80000])
+    p.add_argument("--nsamples", type=int, default=16)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--plot", type=str, default=None)
+    p.add_argument("--json", type=str, default=None)
+    p.set_defaults(fn=cmd_bench)
+
+    return ap
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s - %(levelname)s - %(message)s")
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

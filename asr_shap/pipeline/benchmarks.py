@@ -42,23 +42,25 @@ def run_length_sweep(
         params = init_wav2vec2_params(jax.random.key(0), cfg)
 
     ecfg = ExplainerConfig(nsamples=nsamples, draw_chunk=draw_chunk, remat=True)
-    f_cache = {}
     results = []
     rng = np.random.default_rng(0)
     for n in lengths:
         t_frames = cfg.frames_for_samples(n)
         try:
-            f = f_cache.setdefault(n, make_explained_fn(params, cfg, ecfg))
             x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
             bg = zeros_noise_background(jax.random.key(1), n, ecfg.num_background)
-            run = jax.jit(
-                lambda xx, kk: expected_gradients(f, xx, bg, kk, ecfg).values
-            )
+
+            # params as jit argument — see bench.py note on HLO constants
+            @jax.jit
+            def run(p, xx, kk):
+                f = make_explained_fn(p, cfg, ecfg)
+                return expected_gradients(f, xx, bg, kk, ecfg).values
+
             t0 = time.perf_counter()
-            run(x, jax.random.key(2)).block_until_ready()
+            run(params, x, jax.random.key(2)).block_until_ready()
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
-            run(x, jax.random.key(3)).block_until_ready()
+            run(params, x, jax.random.key(3)).block_until_ready()
             wall = time.perf_counter() - t0
             chunk = max(1, draw_chunk)
             total_draws = -(-nsamples // chunk) * chunk

@@ -33,20 +33,26 @@ from asr_shap.metrics.confidence import mean_max_softmax_confidence
 from asr_shap.models.heads import aggregation_head
 from asr_shap.models.wav2vec2 import wav2vec2_logits
 from asr_shap.ops.ctc import ctc_greedy_decode, ctc_ids_to_text
+from asr_shap.utils.debug import check_finite
 
 logger = logging.getLogger(__name__)
 
 
-def _build_step(params, cfg: PipelineConfig, mesh=None):
+def _build_step(cfg: PipelineConfig, mesh=None):
     """One jitted computation per input length: logits diagnostics + the
-    full attribution matrix."""
+    full attribution matrix. ``params`` is a jit ARGUMENT (not a closure) so
+    the weights stay device-resident data instead of being baked into the
+    HLO as constants — at 94M params a closure bloats the program past what
+    compile services accept."""
     mc, ec = cfg.model, cfg.explainer
 
-    def f(x):
-        logits = wav2vec2_logits(params, mc, x[None, :], remat=ec.remat)
-        return aggregation_head(logits, ec.aggregation, ec.token_timestep, ec.token_id)[0]
+    def step(params, x, key):
+        def f(xx):
+            logits = wav2vec2_logits(params, mc, xx[None, :], remat=ec.remat)
+            return aggregation_head(
+                logits, ec.aggregation, ec.token_timestep, ec.token_id
+            )[0]
 
-    def step(x, key):
         bg = zeros_noise_background(
             fold(key, 0), x.shape[0], ec.num_background, ec.background_sigma
         )
@@ -75,7 +81,7 @@ def run_shap_pipeline(
     Returns per-sample result dicts (shap matrix, transcription, confidence,
     wall-clock). jit caches one executable per distinct audio length."""
     store = store or AttributionStore(cfg.data_dir)
-    step = _build_step(params, cfg, mesh)
+    step = _build_step(cfg, mesh)
     key = jax.random.key(cfg.seed)
 
     results = []
@@ -87,9 +93,10 @@ def run_shap_pipeline(
 
         x = zero_mean_unit_var(jnp.asarray(sample["audio"]))
         t0 = time.perf_counter()
-        phi, conf, ids, keep = step(x, fold(key, i))
+        phi, conf, ids, keep = step(params, x, fold(key, i))
         phi = np.asarray(phi)  # device->host once, at the end
         wall = time.perf_counter() - t0
+        check_finite(phi, f"shap_values[sample {i}]")
 
         transcription = ctc_ids_to_text(np.asarray(ids), np.asarray(keep), WAV2VEC2_VOCAB)
         store.save(skey, sample["audio"], sample["noise"], phi, sample["text"])

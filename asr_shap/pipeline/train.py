@@ -60,15 +60,21 @@ def make_train_step(
         logit_lengths = feature_lengths(model_cfg, batch["audio_lengths"])
         return ctc_loss(logits, logit_lengths, batch["labels"], batch["label_lengths"])
 
+    def _zero_frozen(tree):
+        # standard wav2vec2 fine-tuning: the pretrained conv stack stays fixed
+        return {
+            k: (jax.tree.map(jnp.zeros_like, v) if k == "feature_encoder" else v)
+            for k, v in tree.items()
+        }
+
     def train_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         if train_cfg.freeze_feature_encoder:
-            # standard wav2vec2 fine-tuning: the pretrained conv stack stays fixed
-            grads = {
-                k: (jax.tree.map(jnp.zeros_like, v) if k == "feature_encoder" else v)
-                for k, v in grads.items()
-            }
+            grads = _zero_frozen(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        if train_cfg.freeze_feature_encoder:
+            # adamw's decoupled weight decay would still move frozen params
+            updates = _zero_frozen(updates)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
@@ -179,6 +185,7 @@ def make_noisy_batch(
     mixed at a random SNR from ``snrs_db`` (train_asr.py:135-179 capability,
     seeded and vectorized)."""
     b = speech.shape[0]
+    noises = jnp.asarray(noises)
     k1, k2, k3 = jax.random.split(key, 3)
     noise_idx = jax.random.randint(k1, (b,), 0, noises.shape[0])
     snr_idx = jax.random.randint(k2, (b,), 0, len(snrs_db))

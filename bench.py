@@ -59,19 +59,23 @@ def measure_ours() -> tuple[float, int]:
         num_background=5,
         remat=True,
     )
-    f = make_explained_fn(params, cfg, ecfg)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(AUDIO_LEN).astype(np.float32))
     bg = zeros_noise_background(jax.random.key(1), AUDIO_LEN, 5, 0.01)
 
-    run = jax.jit(lambda xx, kk: expected_gradients(f, xx, bg, kk, ecfg).values)
-    # compile + warmup
-    phi = run(x, jax.random.key(2))
+    # params are a jit ARGUMENT: closing over 94M weights bakes them into the
+    # HLO as constants (breaks remote-compile request limits, bloats caches)
+    @jax.jit
+    def run(p, xx, kk):
+        f = make_explained_fn(p, cfg, ecfg)
+        return expected_gradients(f, xx, bg, kk, ecfg).values
+
+    phi = run(params, x, jax.random.key(2))
     phi.block_until_ready()
 
     t0 = time.perf_counter()
-    phi = run(x, jax.random.key(3))
+    phi = run(params, x, jax.random.key(3))
     phi.block_until_ready()
     wall = time.perf_counter() - t0
 

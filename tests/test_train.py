@@ -1,0 +1,150 @@
+"""Training-loop tests: the loss goes down on a learnable toy task, early
+stopping triggers, orbax checkpoints round-trip, and the data-parallel
+step runs on the 8-device mesh (the capability train_asr.py sketches but
+never wires — SURVEY.md section 3.4 note)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from asr_shap.core.config import TrainConfig, Wav2Vec2Config
+from asr_shap.models import init_wav2vec2_params
+from asr_shap.parallel import make_mesh
+from asr_shap.pipeline.train import (
+    Checkpointer,
+    EarlyStopping,
+    make_noisy_batch,
+    make_optimizer,
+    make_train_step,
+    replicate_params,
+    shard_batch,
+    train,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = Wav2Vec2Config(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, conv_dim=(16, 16), conv_stride=(5, 2),
+        conv_kernel=(10, 3), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, feat_proj_dim=16,
+    )
+    params = init_wav2vec2_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    b, n, l = 8, 800, 4
+    batch = {
+        "audio": rng.standard_normal((b, n)).astype(np.float32),
+        "audio_lengths": np.full((b,), n, np.int32),
+        "labels": rng.integers(1, 32, (b, l)).astype(np.int32),
+        "label_lengths": np.full((b,), l, np.int32),
+    }
+    return cfg, params, batch
+
+
+def test_loss_decreases(tiny_setup):
+    cfg, params, batch = tiny_setup
+    tcfg = TrainConfig(learning_rate=3e-4, freeze_feature_encoder=False)
+    opt = make_optimizer(tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, opt))
+    state = opt.init(params)
+    p = params
+    losses = []
+    for _ in range(8):
+        p, state, loss = step(p, state, {k: jnp.asarray(v) for k, v in batch.items()})
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_frozen_feature_encoder(tiny_setup):
+    cfg, params, batch = tiny_setup
+    tcfg = TrainConfig(freeze_feature_encoder=True)
+    opt = make_optimizer(tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, opt))
+    p, _, _ = step(params, opt.init(params),
+                   {k: jnp.asarray(v) for k, v in batch.items()})
+    for a, b in zip(jax.tree.leaves(params["feature_encoder"]),
+                    jax.tree.leaves(p["feature_encoder"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # encoder params did change
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params["encoder"]),
+                        jax.tree.leaves(p["encoder"]))
+    )
+    assert changed
+
+
+def test_dp_sharded_step_matches_single(tiny_setup):
+    cfg, params, batch = tiny_setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    tcfg = TrainConfig(freeze_feature_encoder=False)
+    opt = make_optimizer(tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, opt))
+
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, _, loss_single = step(params, opt.init(params), jb)
+
+    mesh = make_mesh()
+    p_rep = replicate_params(params, mesh)
+    s_rep = replicate_params(opt.init(params), mesh)
+    sb = shard_batch(batch, mesh)
+    _, _, loss_dp = step(p_rep, s_rep, sb)
+    np.testing.assert_allclose(float(loss_single), float(loss_dp), rtol=1e-4)
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=2)
+    assert not es.update(1.0)
+    assert not es.update(0.9)
+    assert not es.update(0.95)   # 1st bad
+    assert es.update(0.92)       # 2nd bad -> stop
+    assert es.should_stop
+
+
+def test_noisy_batch_mixing(rng):
+    b, n = 4, 1000
+    speech = rng.standard_normal((b, n)).astype(np.float32)
+    noises = rng.standard_normal((3, 2000)).astype(np.float32)
+    batch = make_noisy_batch(
+        jax.random.key(0), speech, np.full(b, n),
+        rng.integers(1, 32, (b, 5)).astype(np.int32), np.full(b, 5),
+        noises, (0.0, 10.0),
+    )
+    mixed = np.asarray(batch["audio"])
+    assert mixed.shape == (b, n)
+    # realized SNR of each row is one of the requested values
+    for i in range(b):
+        nz = mixed[i] - speech[i]
+        snr = 10 * np.log10(np.mean(speech[i] ** 2) / np.mean(nz**2))
+        assert min(abs(snr - 0.0), abs(snr - 10.0)) < 0.5, snr
+
+
+def test_train_loop_with_checkpointing(tiny_setup, tmp_path):
+    cfg, params, batch = tiny_setup
+    tcfg = TrainConfig(num_epochs=3, early_stopping_patience=10,
+                       freeze_feature_encoder=False)
+    ck = Checkpointer(str(tmp_path / "ckpt"), keep=2)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    p, opt_state, history = train(
+        params, cfg, tcfg,
+        train_batches=lambda: [jb],
+        val_batches=lambda: [jb],
+        checkpointer=ck,
+    )
+    assert len(history) == 3
+    assert all(np.isfinite(h["train_loss"]) for h in history)
+
+    # restore resumes from the latest step
+    opt = make_optimizer(tcfg)
+    restored = ck.restore(None, params, opt.init(params))
+    assert restored is not None
+    step_idx, rp, _ = restored
+    assert step_idx == 2
+    # restored params equal final params
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(rp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ck.best_step is not None
