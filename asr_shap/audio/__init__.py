@@ -1,6 +1,7 @@
 from asr_shap.audio.normalize import zero_mean_unit_var
 from asr_shap.audio.noise import add_white_noise_at_snr, mix_at_snr
 from asr_shap.audio.mel import log_mel_spectrogram, mel_filterbank, stft_magnitude
+from asr_shap.audio.resample import resample, resampled_length
 
 __all__ = [
     "zero_mean_unit_var",
@@ -9,4 +10,6 @@ __all__ = [
     "log_mel_spectrogram",
     "mel_filterbank",
     "stft_magnitude",
+    "resample",
+    "resampled_length",
 ]

@@ -148,3 +148,50 @@ def deep_shap_values(
     fx = f_dual(dual(x, x))
     base = jnp.mean(jax.vmap(lambda r: f_dual(dual(r, r)))(background), axis=0)
     return DeepExplanation(values=phi, base_values=base, model_output=fx)
+
+
+def wav2vec2_dual_fn(
+    params,
+    model_config,
+    explainer_config,
+    remat: Optional[bool] = None,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """DeepSHAP dual forward on the full Wav2Vec2 CTC model.
+
+    Returns f_dual: dual waveform [2, N] -> explained outputs [T_out] of the
+    ACTUAL half. The model's batch axis carries the (actual, reference) pair
+    and its GELUs run the rescale rule; norm layers and attention keep their
+    plain gradient — exactly the reference handler assignment (LayerNorm/
+    GroupNorm -> linear_1d, activations -> nonlinear rescale,
+    custom_shap_handlers.py:35-60). This is DeepExplainer-on-Wav2Vec2
+    (test_shap_asr.py:66-67), which round 1 could not express.
+    """
+    from asr_shap.models.heads import aggregation_head
+    from asr_shap.models.wav2vec2 import wav2vec2_logits
+
+    ec = explainer_config
+    use_remat = ec.remat if remat is None else remat
+
+    def f_dual(d: jnp.ndarray) -> jnp.ndarray:
+        logits = wav2vec2_logits(
+            params, model_config, d, remat=use_remat, gelu=gelu_rescale
+        )  # [2, T, V]
+        out = aggregation_head(logits, ec.aggregation, ec.token_timestep, ec.token_id)
+        return out[0]
+
+    return f_dual
+
+
+def deep_explain_wav2vec2(
+    params,
+    model_config,
+    x: jnp.ndarray,
+    background: jnp.ndarray,
+    explainer_config,
+) -> DeepExplanation:
+    """One-call DeepSHAP attribution of a Wav2Vec2 model at waveform ``x``
+    (already normalized) against each background row."""
+    f_dual = wav2vec2_dual_fn(params, model_config, explainer_config)
+    return deep_shap_values(
+        f_dual, x, background, output_chunk=explainer_config.output_chunk
+    )

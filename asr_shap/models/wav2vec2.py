@@ -44,6 +44,15 @@ def _gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+# GELU is the model's only pluggable nonlinearity: passing
+# ``explain.deepshap.gelu_rescale`` here (with the batch axis carrying a
+# (actual, reference) dual pair) turns the whole forward into a DeepSHAP
+# dual-mode forward — the DeepExplainer-on-Wav2Vec2 capability
+# (reference test_shap_asr.py:66-67). Norm layers keep their plain gradient,
+# the DeepLIFT "linear_1d" treatment the reference's handlers use
+# (custom_shap_handlers.py:35-42, 53-60).
+
+
 def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
@@ -191,7 +200,9 @@ def feature_lengths(config: Wav2Vec2Config, lengths: jnp.ndarray) -> jnp.ndarray
     return out
 
 
-def feature_encoder(params: Params, config: Wav2Vec2Config, x: jnp.ndarray) -> jnp.ndarray:
+def feature_encoder(
+    params: Params, config: Wav2Vec2Config, x: jnp.ndarray, gelu=_gelu
+) -> jnp.ndarray:
     """Raw waveform [B, N] -> features [B, T, 512]. x320 total stride."""
     h = x[..., None].astype(jnp.float32)  # [B, N, 1]
     for i, layer in enumerate(params["feature_encoder"]):
@@ -206,11 +217,13 @@ def feature_encoder(params: Params, config: Wav2Vec2Config, x: jnp.ndarray) -> j
                             eps=config.layer_norm_eps)
         elif config.feat_extract_norm == "layer":
             h = _layer_norm(layer["norm"], h, eps=config.layer_norm_eps)
-        h = _gelu(h)
+        h = gelu(h)
     return h
 
 
-def _pos_conv_embedding(params: Params, config: Wav2Vec2Config, h: jnp.ndarray) -> jnp.ndarray:
+def _pos_conv_embedding(
+    params: Params, config: Wav2Vec2Config, h: jnp.ndarray, gelu=_gelu
+) -> jnp.ndarray:
     """Grouped conv positional embedding; even kernels drop the final frame
     (the 'same-pad' trim), then GELU."""
     p = params["encoder"]["pos_conv"]
@@ -225,7 +238,7 @@ def _pos_conv_embedding(params: Params, config: Wav2Vec2Config, h: jnp.ndarray) 
     )
     if config.num_conv_pos_embeddings % 2 == 0:
         y = y[:, :-1, :]
-    return _gelu(y)
+    return gelu(y)
 
 
 def _encoder_layer(
@@ -233,6 +246,7 @@ def _encoder_layer(
     config: Wav2Vec2Config,
     h: jnp.ndarray,
     bias: Optional[jnp.ndarray],
+    gelu=_gelu,
 ) -> jnp.ndarray:
     """One transformer encoder layer. Post-LN ("base") or pre-LN
     ("do_stable_layer_norm", large variants)."""
@@ -250,7 +264,7 @@ def _encoder_layer(
 
     def ffn(x):
         return _linear(
-            layer["ffn"]["output"], _gelu(_linear(layer["ffn"]["intermediate"], x))
+            layer["ffn"]["output"], gelu(_linear(layer["ffn"]["intermediate"], x))
         )
 
     if cfg.do_stable_layer_norm:
@@ -268,6 +282,7 @@ def encoder(
     h: jnp.ndarray,
     frame_mask: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    gelu=_gelu,
 ) -> jnp.ndarray:
     """Transformer encoder over features [B, T, H]."""
     cfg = config
@@ -276,12 +291,12 @@ def encoder(
         h = h * frame_mask[..., None]
         bias = jnp.where(frame_mask[:, None, None, :], 0.0, -1e9).astype(h.dtype)
 
-    h = h + _pos_conv_embedding(params, cfg, h)
+    h = h + _pos_conv_embedding(params, cfg, h, gelu)
     if not cfg.do_stable_layer_norm:
         h = _layer_norm(params["encoder"]["layer_norm"], h, cfg.layer_norm_eps)
 
     def body(carry, layer):
-        return _encoder_layer(layer, cfg, carry, bias), None
+        return _encoder_layer(layer, cfg, carry, bias, gelu), None
 
     if remat:
         body = jax.checkpoint(body)
@@ -298,12 +313,13 @@ def wav2vec2_logits(
     input_values: jnp.ndarray,
     lengths: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    gelu=_gelu,
 ) -> jnp.ndarray:
     """Normalized waveform [B, N] (see audio.normalize) -> CTC logits
     [B, T_frames, vocab]. ``lengths`` enables padded batching."""
     cfg = config
     with jax.default_matmul_precision(cfg.matmul_precision):
-        feats = feature_encoder(params, cfg, input_values)  # [B, T, 512]
+        feats = feature_encoder(params, cfg, input_values, gelu)  # [B, T, 512]
         fp = params["feature_projection"]
         h = _linear(
             fp["projection"], _layer_norm(fp["layer_norm"], feats, cfg.layer_norm_eps)
@@ -315,5 +331,5 @@ def wav2vec2_logits(
             fl = feature_lengths(cfg, lengths)
             frame_mask = (jnp.arange(t)[None, :] < fl[:, None]).astype(h.dtype)
 
-        h = encoder(params, cfg, h, frame_mask, remat=remat)
+        h = encoder(params, cfg, h, frame_mask, remat=remat, gelu=gelu)
         return _linear(params["lm_head"], h)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from asr_shap.audio.noise import add_white_noise_at_snr
+from asr_shap.audio.resample import resample
 from asr_shap.core.config import TestSetConfig
 from asr_shap.core.prng import fold
 
@@ -81,7 +82,14 @@ def load_librispeech_dummy() -> Optional[Iterable[Tuple[np.ndarray, str]]]:
         ds = load_dataset(
             "patrickvonplaten/librispeech_asr_dummy", "clean", split="validation"
         )
-        return ((np.asarray(s["audio"]["array"], np.float32), s["text"]) for s in ds)
+        return (
+            (
+                np.asarray(s["audio"]["array"], np.float32),
+                s["text"],
+                int(s["audio"].get("sampling_rate", 16_000)),
+            )
+            for s in ds
+        )
     except Exception:
         return None
 
@@ -102,9 +110,21 @@ def create_test_set(
     key = jax.random.key(cfg.seed)
     test_set: List[Dict] = []
     count = 0
-    for audio, text in source:
+    for item in source:
         if count >= cfg.num_samples:
             break
+        # (audio, text) at cfg.sample_rate, or (audio, text, sr) at any rate —
+        # non-16 kHz sources go through the device-side resampler, the
+        # reference's torchaudio.Resample step (lime_shap_wav2vec2_comparison
+        # .py:42-43).
+        if len(item) == 3:
+            audio, text, sr = item
+            if int(sr) != cfg.sample_rate:
+                audio = np.asarray(
+                    resample(jnp.asarray(audio), int(sr), cfg.sample_rate)
+                )
+        else:
+            audio, text = item
         if len(audio) < cfg.min_length:
             continue  # length filter, shap_calculation.py:75-78
         if cfg.max_length and len(audio) > cfg.max_length:

@@ -81,6 +81,20 @@ def make_train_step(
     return train_step
 
 
+def make_eval_step(model_cfg: Wav2Vec2Config):
+    """Loss-only validation step: forward + CTC loss, no gradients and no
+    optimizer state — the val loop must not pay for (or risk reusing) a
+    training update."""
+
+    def eval_step(params, batch):
+        x = zero_mean_unit_var(batch["audio"], batch["audio_lengths"])
+        logits = wav2vec2_logits(params, model_cfg, x, lengths=batch["audio_lengths"])
+        logit_lengths = feature_lengths(model_cfg, batch["audio_lengths"])
+        return ctc_loss(logits, logit_lengths, batch["labels"], batch["label_lengths"])
+
+    return eval_step
+
+
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     """Place a host batch with its leading axis sharded over the data axis."""
     sh1 = NamedSharding(mesh, P(mesh.axis_names[0]))
@@ -226,6 +240,7 @@ def train(
     optimizer = make_optimizer(train_cfg)
     opt_state = optimizer.init(params)
     step_fn = jax.jit(make_train_step(model_cfg, train_cfg, optimizer))
+    eval_fn = jax.jit(make_eval_step(model_cfg))
 
     if mesh is not None:
         params = replicate_params(params, mesh)
@@ -251,8 +266,7 @@ def train(
             for batch in vb:
                 if mesh is not None:
                     batch = shard_batch(batch, mesh)
-                _, _, loss = step_fn(params, opt_state, batch)
-                vl.append(float(loss))
+                vl.append(float(eval_fn(params, batch)))
             val_loss = float(np.mean(vl)) if vl else float("nan")
 
         train_loss = float(np.mean(ep_losses)) if ep_losses else float("nan")

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -109,7 +110,7 @@ def character_masks(
         return empty, empty
     cols = jnp.abs(shap_matrix[:, jnp.asarray(list(char_frames))].T)  # [C, N]
     smoothed = block_mean_smooth(cols, sr, block_ms)
-    masks = jnp.stack([normalize_and_scale(s, percentile) for s in smoothed])
+    masks = jax.vmap(lambda s: normalize_and_scale(s, percentile))(smoothed)
     return masks, audio[None, :] * masks
 
 

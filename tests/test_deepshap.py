@@ -183,3 +183,90 @@ def test_conformer_deepshap_end_to_end(tiny_conformer, rng):
     assert np.isfinite(np.asarray(res.values)).all()
     res2 = deep_shap_values(f_dual, x, bg)
     np.testing.assert_array_equal(np.asarray(res.values), np.asarray(res2.values))
+
+
+# ------------------------------------------------------------- wav2vec2
+
+def test_wav2vec2_dual_forward_matches_plain(tiny_config, rng):
+    """The rescale rule only alters the backward: a dual forward's halves
+    equal a plain batched forward exactly."""
+    from asr_shap.explain.deepshap import gelu_rescale
+    from asr_shap.models.wav2vec2 import init_wav2vec2_params, wav2vec2_logits
+
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    x = jnp.asarray(rng.standard_normal(800).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal(800).astype(np.float32) * 0.01)
+    d = jnp.stack([x, r])
+    out_dual = wav2vec2_logits(params, tiny_config, d, gelu=gelu_rescale)
+    out_plain = wav2vec2_logits(params, tiny_config, d)
+    np.testing.assert_array_equal(np.asarray(out_dual), np.asarray(out_plain))
+
+
+def test_wav2vec2_deepshap_zero_at_own_background(tiny_config, rng):
+    """With background == x the attributions are exactly zero (phi carries
+    the (x - ref) factor and all multipliers stay finite at delta = 0)."""
+    from asr_shap.core.config import ExplainerConfig
+    from asr_shap.explain.deepshap import deep_explain_wav2vec2
+    from asr_shap.models.wav2vec2 import init_wav2vec2_params
+
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    x = jnp.asarray(rng.standard_normal(800).astype(np.float32))
+    ec = ExplainerConfig(aggregation="mean", remat=False)
+    res = deep_explain_wav2vec2(params, tiny_config, x, x[None, :], ec)
+    phi = np.asarray(res.values)
+    assert np.isfinite(phi).all()
+    np.testing.assert_array_equal(phi, np.zeros_like(phi))
+
+
+def test_feature_encoder_rescale_completeness(rng):
+    """Exact DeepLIFT completeness through the conv+GELU feature encoder
+    (norm-free variant): conv is linear, GELU uses the rescale rule, so
+    sum_n phi[n] == f(x) - f(r) to float tolerance. On the full transformer
+    completeness is approximate only — norm layers take the plain-gradient
+    linear_1d treatment, the same assignment as the reference's handlers
+    (custom_shap_handlers.py:35-42, 53-60)."""
+    from asr_shap.core.config import Wav2Vec2Config
+    from asr_shap.explain.deepshap import deep_shap_values, gelu_rescale
+    from asr_shap.models.wav2vec2 import feature_encoder, init_wav2vec2_params
+
+    cfg = Wav2Vec2Config(
+        conv_dim=(8, 8), conv_stride=(5, 2), conv_kernel=(10, 3),
+        conv_bias=True, feat_extract_norm="none",
+    )
+    params = init_wav2vec2_params(jax.random.key(0), cfg)
+    n = 300
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    bg = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32) * 0.1)
+
+    def f_dual(d):
+        feats = feature_encoder(params, cfg, d, gelu=gelu_rescale)  # [2, T, C]
+        return jnp.sum(feats[0], axis=-1)  # [T] linear readout
+
+    res = deep_shap_values(f_dual, x, bg)
+    total = np.asarray(res.values).sum(axis=0)
+    target = np.asarray(res.model_output - res.base_values)
+    np.testing.assert_allclose(total, target, rtol=1e-3, atol=1e-4)
+
+
+def test_wav2vec2_deepshap_end_to_end(tiny_config, rng):
+    """DeepExplainer-on-Wav2Vec2 (reference test_shap_asr.py:66-67): correct
+    layout, finite, deterministic, and sensitive to the input."""
+    from asr_shap.core.config import ExplainerConfig
+    from asr_shap.explain.deepshap import deep_explain_wav2vec2
+    from asr_shap.models.wav2vec2 import init_wav2vec2_params
+
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    n = 800
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    bg = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32) * 0.01)
+    ec = ExplainerConfig(aggregation="mean", remat=False)
+
+    res = deep_explain_wav2vec2(params, tiny_config, x, bg, ec)
+    t = tiny_config.frames_for_samples(n)
+    assert res.values.shape == (n, t)
+    phi = np.asarray(res.values)
+    assert np.isfinite(phi).all()
+    assert np.abs(phi).max() > 0.0
+
+    res2 = deep_explain_wav2vec2(params, tiny_config, x, bg, ec)
+    np.testing.assert_array_equal(phi, np.asarray(res2.values))

@@ -3,7 +3,6 @@ dryrun_multichip runs a real sharded train step + sharded explanation on the
 8-device CPU mesh."""
 
 import jax
-import pytest
 
 import __graft_entry__ as ge
 
@@ -16,6 +15,12 @@ def test_entry_traces():
 
 
 def test_dryrun_multichip():
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 devices (CPU run provides virtual)")
+    # Never skips: on the 8-virtual-CPU test mesh this runs in-process; on a
+    # scarce-device host dryrun_multichip self-provisions via subprocess.
     ge.dryrun_multichip(8)
+
+
+def test_dryrun_subprocess_fallback():
+    """The scarce-device path: a fresh interpreter forcing a virtual CPU mesh
+    (what the driver's 1-TPU bench host exercises). Small n keeps it fast."""
+    ge._dryrun_subprocess(2)
