@@ -78,6 +78,32 @@ class Wav2Vec2Config:
 
 
 @dataclasses.dataclass(frozen=True)
+class Wav2Vec2ConformerConfig(Wav2Vec2Config):
+    """Wav2Vec2-Conformer CTC model (conformer blocks over the wav2vec2
+    conv feature encoder).
+
+    Defaults reproduce ``facebook/wav2vec2-conformer-rel-pos-large-960h-ft``,
+    the model of the reference's Conformer SHAP study (w2v2conformer.py:57-59);
+    ``position_embeddings_type="rotary"`` gives the rope-large variant
+    (conformer_test.ipynb cell 0).
+    """
+
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    conv_bias: bool = True
+    feat_extract_norm: str = "layer"
+    do_stable_layer_norm: bool = True
+    feat_proj_dim: int = 512
+    # conformer-block specifics
+    position_embeddings_type: str = "relative"  # "relative" | "rotary" | "none"
+    rotary_embedding_base: int = 10_000
+    conv_depthwise_kernel_size: int = 31
+    hidden_act: str = "swish"  # conformer FFN/conv activation (silu)
+
+
+@dataclasses.dataclass(frozen=True)
 class ConformerConfig:
     """Conformer CTC encoder on log-mel features.
 
@@ -100,10 +126,35 @@ class ConformerConfig:
     layer_norm_eps: float = 1e-5
     dtype: str = "float32"
     attention_impl: str = "xla"
+    # Positional scheme: "none" (torchaudio Conformer style) or "relative"
+    # (NeMo-style Transformer-XL rel-pos attention with per-layer u/v biases).
+    pos_encoding: str = "none"
+    # Conv subsampling front-end (NeMo "striding": stacked 2D convs, stride 2
+    # each, then a linear onto hidden_size). "none" feeds mel frames directly.
+    subsampling: str = "none"  # "none" | "striding"
+    subsampling_factor: int = 4
+    subsampling_conv_channels: int = 0  # 0 = hidden_size
+    # Multiply encoder input by sqrt(hidden_size) (NeMo's xscale).
+    input_scale: bool = False
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def subsampling_layers(self) -> int:
+        n, f = 0, 1
+        while f < self.subsampling_factor:
+            f *= 2
+            n += 1
+        return n
+
+    def subsampled_length(self, t: int) -> int:
+        """Output frame count of the striding subsampler for t input frames
+        (kernel 3, stride 2, pad 1 per stage)."""
+        for _ in range(self.subsampling_layers):
+            t = (t + 2 - 3) // 2 + 1
+        return t
 
 
 @dataclasses.dataclass(frozen=True)

@@ -4,6 +4,16 @@ from asr_shap.models.wav2vec2 import (
     feature_lengths,
 )
 from asr_shap.models.heads import aggregation_head, make_explained_fn
+from asr_shap.models.w2v2_conformer import (
+    init_w2v2_conformer_params,
+    w2v2_conformer_logits,
+)
+from asr_shap.models.nemo_ctc import (
+    init_nemo_ctc_params,
+    nemo_conformer_config,
+    nemo_ctc_decode,
+    nemo_ctc_logits,
+)
 
 __all__ = [
     "init_wav2vec2_params",
@@ -11,4 +21,10 @@ __all__ = [
     "feature_lengths",
     "aggregation_head",
     "make_explained_fn",
+    "init_w2v2_conformer_params",
+    "w2v2_conformer_logits",
+    "init_nemo_ctc_params",
+    "nemo_conformer_config",
+    "nemo_ctc_decode",
+    "nemo_ctc_logits",
 ]

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from asr_shap.core.config import ConformerConfig
-from asr_shap.ops.attention import multi_head_attention
+from asr_shap.ops.attention import multi_head_attention, rel_pos_embedding, rel_shift
 
 Params = Dict[str, Any]
 
@@ -117,13 +117,56 @@ def init_conformer_params(key: jax.Array, cfg: ConformerConfig) -> Params:
         }
         return layer
 
-    layers = [init_layer(next(keys)) for _ in range(cfg.num_layers)]
+    layers = []
+    for _ in range(cfg.num_layers):
+        layer = init_layer(next(keys))
+        if cfg.pos_encoding == "relative":
+            kp = next(keys)
+            layer["attn"]["pos"] = {
+                "kernel": jax.random.uniform(
+                    kp, (d, d), jnp.float32, -1.0 / math.sqrt(d), 1.0 / math.sqrt(d)
+                )
+            }
+            layer["attn"]["bias_u"] = jnp.zeros((cfg.num_attention_heads, cfg.head_dim))
+            layer["attn"]["bias_v"] = jnp.zeros((cfg.num_attention_heads, cfg.head_dim))
+        layers.append(layer)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
     params: Params = {"layers": stacked, "head": _init_linear(next(keys), d, cfg.vocab_size)}
-    if cfg.input_dim != cfg.hidden_size:
+    if cfg.subsampling == "striding":
+        params["subsampling"] = init_subsampling_params(next(keys), cfg)
+    elif cfg.input_dim != cfg.hidden_size:
         params["input_proj"] = _init_linear(next(keys), cfg.input_dim, d)
     return params
+
+
+def init_subsampling_params(key: jax.Array, cfg: ConformerConfig) -> Params:
+    """Striding conv-subsampling front-end (NeMo-style, SURVEY.md D10):
+    ``subsampling_layers`` stacked 2D convs (kernel 3, stride 2, pad 1, ReLU)
+    over (time, mel) followed by a linear onto hidden_size."""
+    ch = cfg.subsampling_conv_channels or cfg.hidden_size
+    n_layers = cfg.subsampling_layers
+    keys = jax.random.split(key, n_layers + 1)
+    convs = []
+    c_in = 1
+    for i in range(n_layers):
+        fan_in = 9 * c_in
+        convs.append(
+            {
+                # HWIO layout for lax.conv over (time, freq)
+                "kernel": jax.random.normal(keys[i], (3, 3, c_in, ch), jnp.float32)
+                * math.sqrt(2.0 / fan_in),
+                "bias": jnp.zeros((ch,), jnp.float32),
+            }
+        )
+        c_in = ch
+    f_out = cfg.input_dim
+    for _ in range(n_layers):
+        f_out = (f_out + 2 - 3) // 2 + 1
+    return {
+        "convs": convs,
+        "out": _init_linear(keys[-1], ch * f_out, cfg.hidden_size),
+    }
 
 
 # ------------------------------------------------------------------ forward
@@ -143,7 +186,7 @@ def _ffn(p, x, rules: Rules, eps):
     return _lin(p["out"], rules.silu(h))
 
 
-def _attention(p, cfg: ConformerConfig, x, bias, eps):
+def _attention(p, cfg: ConformerConfig, x, bias, eps, pe=None):
     *lead, t, d = x.shape
     nh, hd = cfg.num_attention_heads, cfg.head_dim
     xn = _ln(p["norm"], x, eps)
@@ -156,11 +199,44 @@ def _attention(p, cfg: ConformerConfig, x, bias, eps):
     v = jnp.moveaxis(proj(p["v"], xn), -2, -3)
     if len(lead) == 0:
         q, k, v = q[None], k[None], v[None]
+
+    if pe is not None:
+        # NeMo-style Transformer-XL rel-pos scores feeding the attention bias
+        # (same decomposition as models/w2v2_conformer.py).
+        p_proj = jnp.einsum("ri,io->ro", pe, p["pos"]["kernel"]).reshape(-1, nh, hd)
+        q_v = q + p["bias_v"][None, :, None, :]
+        rel = rel_shift(jnp.einsum("bhtd,rhd->bhtr", q_v, p_proj)) * hd**-0.5
+        bias = rel if bias is None else rel + bias
+        q = q + p["bias_u"][None, :, None, :]
+
     o = multi_head_attention(q, k, v, bias, impl=cfg.attention_impl)
     if len(lead) == 0:
         o = o[0]
     o = jnp.moveaxis(o, -3, -2).reshape(*lead, t, d)
     return _lin(p["out"], o)
+
+
+def conv_subsampling(p: Params, cfg: ConformerConfig, x: jnp.ndarray,
+                     relu=jax.nn.relu) -> jnp.ndarray:
+    """Mel features [..., T, F] -> subsampled hidden [..., T', hidden_size]
+    via stacked stride-2 2D convs + linear (NeMo "striding" front-end)."""
+    lead = x.shape[:-2]
+    t, f = x.shape[-2:]
+    h = x.reshape(-1, t, f, 1)  # NHWC over (time, freq)
+    for conv in p["convs"]:
+        h = lax.conv_general_dilated(
+            h, conv["kernel"],
+            window_strides=(2, 2),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + conv["bias"]
+        h = relu(h)
+    b, t2, f2, c = h.shape
+    # channel-major flatten (C, F) matches the NeMo weight layout the
+    # converter maps onto (models/nemo_ctc.py)
+    h = h.transpose(0, 1, 3, 2).reshape(b, t2, c * f2)
+    h = _lin(p["out"], h)
+    return h.reshape(*lead, t2, cfg.hidden_size)
 
 
 def _conv_module(p, cfg: ConformerConfig, x, rules: Rules, eps, frame_mask=None):
@@ -200,10 +276,11 @@ def _conv_module(p, cfg: ConformerConfig, x, rules: Rules, eps, frame_mask=None)
     return _lin(p["pointwise2"], h)
 
 
-def _conformer_layer(layer, cfg: ConformerConfig, x, rules: Rules, bias, frame_mask):
+def _conformer_layer(layer, cfg: ConformerConfig, x, rules: Rules, bias, frame_mask,
+                     pe=None):
     eps = cfg.layer_norm_eps
     x = x + 0.5 * _ffn(layer["ffn1"], x, rules, eps)
-    x = x + _attention(layer["attn"], cfg, x, bias, eps)
+    x = x + _attention(layer["attn"], cfg, x, bias, eps, pe)
     x = x + _conv_module(layer["conv"], cfg, x, rules, eps, frame_mask)
     x = x + 0.5 * _ffn(layer["ffn2"], x, rules, eps)
     return _ln(layer["final_norm"], x, eps)
@@ -217,11 +294,17 @@ def conformer_encode(
     rules: Rules = PLAIN_RULES,
     remat: bool = False,
 ) -> jnp.ndarray:
-    """Features [..., T, input_dim] -> encoded [..., T, hidden]. The leading
-    axes may be a batch, or the dual axis of a DeepSHAP forward."""
+    """Features [..., T, input_dim] -> encoded [..., T', hidden]. The leading
+    axes may be a batch, or the dual axis of a DeepSHAP forward. With a
+    "striding" subsampler T' = cfg.subsampled_length(T); ``lengths`` are
+    then given in subsampled frames."""
     with jax.default_matmul_precision("highest"):
-        if "input_proj" in params:
+        if "subsampling" in params:
+            x = conv_subsampling(params["subsampling"], cfg, x)
+        elif "input_proj" in params:
             x = _lin(params["input_proj"], x)
+        if cfg.input_scale:
+            x = x * math.sqrt(cfg.hidden_size)
 
         bias = None
         frame_mask = None
@@ -231,8 +314,12 @@ def conformer_encode(
             bias = jnp.where(frame_mask[:, None, None, :], 0.0, -1e9).astype(x.dtype)
             x = x * frame_mask[..., None]
 
+        pe = None
+        if cfg.pos_encoding == "relative":
+            pe = rel_pos_embedding(x.shape[-2], cfg.hidden_size).astype(x.dtype)
+
         def body(carry, layer):
-            return _conformer_layer(layer, cfg, carry, rules, bias, frame_mask), None
+            return _conformer_layer(layer, cfg, carry, rules, bias, frame_mask, pe), None
 
         if remat:
             body = jax.checkpoint(body)

@@ -7,8 +7,35 @@ fully differentiable; the Pallas path carries a custom VJP (flash backward).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+
+
+def rel_pos_embedding(t: int, d: int) -> jnp.ndarray:
+    """Transformer-XL sinusoidal relative-position table [2T-1, d]: row i
+    encodes relative position (T-1-i), positives (keys to the left) first.
+    Shared by the Wav2Vec2-Conformer rel-pos attention (w2v2conformer.py
+    study) and the NeMo-style conformer (conformer_visualization.py)."""
+    pos = jnp.arange(t, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, d, 2, dtype=jnp.float32) * (-math.log(10_000.0) / d)
+    )[None, :]
+    pe_pos = jnp.zeros((t, d)).at[:, 0::2].set(jnp.sin(pos * div))
+    pe_pos = pe_pos.at[:, 1::2].set(jnp.cos(pos * div))
+    pe_neg = jnp.zeros((t, d)).at[:, 0::2].set(jnp.sin(-pos * div))
+    pe_neg = pe_neg.at[:, 1::2].set(jnp.cos(-pos * div))
+    return jnp.concatenate([pe_pos[::-1], pe_neg[1:]], axis=0)
+
+
+def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, 2T-1] raw (query, rel-embedding) scores -> [B, H, T, T]
+    aligned (query, key) scores, via the zero-pad/reshape shift trick."""
+    b, h, t, r = x.shape
+    x = jnp.concatenate([jnp.zeros((b, h, t, 1), x.dtype), x], axis=-1)
+    x = x.reshape(b, h, r + 1, t)[:, :, 1:].reshape(b, h, t, r)
+    return x[..., : r // 2 + 1]
 
 
 def _xla_attention(
