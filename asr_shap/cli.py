@@ -27,7 +27,10 @@ def _add_model_args(ap):
     ap.add_argument("--random-init", action="store_true",
                     help="random weights (smoke runs / benchmarks)")
     ap.add_argument("--tiny", action="store_true",
-                    help="tiny architecture (CPU smoke runs)")
+                    help="tiny architecture (CPU smoke runs; x10 downsample)")
+    ap.add_argument("--small", action="store_true",
+                    help="small architecture with the full 7-layer conv "
+                         "stack (x320 downsample, realistic frame counts)")
 
 
 def _load_model(args):
@@ -40,6 +43,15 @@ def _load_model(args):
             hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
             intermediate_size=128, conv_dim=(32, 32), conv_stride=(5, 2),
             conv_kernel=(10, 3), num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4, feat_proj_dim=32,
+        )
+    elif getattr(args, "small", False):
+        # full x320 conv stack (realistic T_frames ~= N/320, which bounds the
+        # Jacobian row count) with a small encoder
+        cfg = Wav2Vec2Config(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=128, conv_dim=(32,) * 7,
+            num_conv_pos_embeddings=16,
             num_conv_pos_embedding_groups=4, feat_proj_dim=32,
         )
     else:

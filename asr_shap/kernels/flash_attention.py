@@ -70,11 +70,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale, t_actua
         preferred_element_type=jnp.float32,
     ) / l
     o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0].astype(jnp.float32)
+    lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)  # [bq, 1]
 
 
-def _fwd(q3, k3, v3, bias2, scale, block_q, interpret, t_actual):
-    """q3/k3/v3: [BH, Tpad, D], bias2: [BH, Tpad] or None."""
+def _fwd(q3, k3, v3, bias_row, scale, block_q, interpret, t_actual):
+    """q3/k3/v3: [BH, Tpad, D], bias_row: [BH, 1, Tpad] or None.
+
+    Mosaic requires the last two block dims to be (divisible by 8, divisible
+    by 128) or equal to the array dims — hence lse/bias travel as 3D
+    row/column layouts, never as 2D [BH, T] planes."""
     bh, t_pad, d = q3.shape
     nq = t_pad // block_q
 
@@ -84,11 +88,11 @@ def _fwd(q3, k3, v3, bias2, scale, block_q, interpret, t_actual):
         pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [q3, k3, v3]
-    if bias2 is not None:
+    if bias_row is not None:
         in_specs.append(
-            pl.BlockSpec((1, t_pad), lambda b, i: (b, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, t_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
         )
-        args.append(bias2)
+        args.append(bias_row)
         kernel = _fwd_kernel
     else:
         kernel = lambda q, k, v, o, lse, **kw: _fwd_kernel(q, k, v, None, o, lse, **kw)
@@ -99,11 +103,11 @@ def _fwd(q3, k3, v3, bias2, scale, block_q, interpret, t_actual):
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
-            jax.ShapeDtypeStruct((bh, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t_pad, 1), jnp.float32),
         ),
         interpret=interpret,
     )(*args)
@@ -117,8 +121,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, dd_ref, dq_ref,
     k = k_ref[0].astype(jnp.float32)      # [T, D]
     v = v_ref[0].astype(jnp.float32)      # [T, D]
     g = g_ref[0].astype(jnp.float32)      # [bq, D]
-    lse = lse_ref[0][:, None]             # [bq, 1]
-    dd = dd_ref[0][:, None]               # [bq, 1]
+    lse = lse_ref[0]                      # [bq, 1]
+    dd = dd_ref[0]                        # [bq, 1]
 
     s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -141,14 +145,14 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, dd_ref,
     k = k_ref[0].astype(jnp.float32)      # [bk, D]
     v = v_ref[0].astype(jnp.float32)      # [bk, D]
     g = g_ref[0].astype(jnp.float32)      # [T, D]
-    lse = lse_ref[0][None, :]             # [1, T]
-    dd = dd_ref[0][None, :]               # [1, T]
+    lse = lse_ref[0]                      # [1, T] (row layout)
+    dd = dd_ref[0]                        # [1, T]
 
     # transposed scores: [bk, T_q]
     st = jax.lax.dot_general(k, q * scale, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     if bias_ref is not None:
-        st = st + bias_ref[0].astype(jnp.float32)[:, None]  # [bk, 1]
+        st = st + bias_ref[0].astype(jnp.float32)  # [bk, 1] column layout
     row_q = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
     st = jnp.where(row_q < t_actual, st, _NEG_INF)
     pt = jnp.exp(st - lse)                # [bk, Tq]
@@ -164,12 +168,16 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, dd_ref,
 
 
 def _bwd(block_q, interpret, scale, res, g4):
-    q3, k3, v3, bias2, bias_orig, o3, lse = res
+    q3, k3, v3, bias_row, bias_orig, o3, lse_col = res
     bh, t_pad, d = q3.shape
     t_actual = g4.shape[2]
     g3 = _pad_to(g4.reshape(-1, t_actual, d), t_pad, 1)
 
     dd = jnp.sum(g3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1)  # [BH, Tpad]
+    dd_col = dd[:, :, None]                      # [BH, Tpad, 1] for dq blocks
+    dd_row = dd[:, None, :]                      # [BH, 1, Tpad] for dkv
+    lse_row = lse_col[:, :, 0][:, None, :]       # [BH, 1, Tpad]
+    bias_col = None if bias_row is None else bias_row[:, 0, :][:, :, None]
 
     nq = t_pad // block_q
     common_specs = dict(memory_space=pltpu.VMEM)
@@ -184,9 +192,9 @@ def _bwd(block_q, interpret, scale, res, g4):
         blk((1, t_pad, d), lambda b, i: (b, 0, 0)),     # v
     ]
     args = [q3, k3, v3]
-    if bias2 is not None:
-        in_specs.append(blk((1, t_pad), lambda b, i: (b, 0)))
-        args.append(bias2)
+    if bias_row is not None:
+        in_specs.append(blk((1, 1, t_pad), lambda b, i: (b, 0, 0)))
+        args.append(bias_row)
         dq_kernel = _dq_kernel
     else:
         dq_kernel = lambda q, k, v, g, l, dd_, dq, **kw: _dq_kernel(
@@ -194,8 +202,8 @@ def _bwd(block_q, interpret, scale, res, g4):
         )
     in_specs += [
         blk((1, block_q, d), lambda b, i: (b, i, 0)),   # g
-        blk((1, block_q), lambda b, i: (b, i)),         # lse
-        blk((1, block_q), lambda b, i: (b, i)),         # dd
+        blk((1, block_q, 1), lambda b, i: (b, i, 0)),   # lse (column)
+        blk((1, block_q, 1), lambda b, i: (b, i, 0)),   # dd (column)
     ]
     dq3 = pl.pallas_call(
         functools.partial(dq_kernel, scale=scale, t_actual=t_actual),
@@ -204,7 +212,7 @@ def _bwd(block_q, interpret, scale, res, g4):
         out_specs=blk((1, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
         interpret=interpret,
-    )(*args, g3, lse, dd)
+    )(*args, g3, lse_col, dd_col)
 
     # dk/dv: blocked over kv
     in_specs2 = [
@@ -213,9 +221,9 @@ def _bwd(block_q, interpret, scale, res, g4):
         blk((1, block_q, d), lambda b, i: (b, i, 0)),   # v
     ]
     args2 = [q3, k3, v3]
-    if bias2 is not None:
-        in_specs2.append(blk((1, block_q), lambda b, i: (b, i)))
-        args2.append(bias2)
+    if bias_row is not None:
+        in_specs2.append(blk((1, block_q, 1), lambda b, i: (b, i, 0)))
+        args2.append(bias_col)
         dkv_kernel = _dkv_kernel
     else:
         dkv_kernel = lambda q, k, v, g, l, dd_, dk, dv, **kw: _dkv_kernel(
@@ -223,8 +231,8 @@ def _bwd(block_q, interpret, scale, res, g4):
         )
     in_specs2 += [
         blk((1, t_pad, d), lambda b, i: (b, 0, 0)),     # g
-        blk((1, t_pad), lambda b, i: (b, 0)),           # lse
-        blk((1, t_pad), lambda b, i: (b, 0)),           # dd
+        blk((1, 1, t_pad), lambda b, i: (b, 0, 0)),     # lse (row)
+        blk((1, 1, t_pad), lambda b, i: (b, 0, 0)),     # dd (row)
     ]
     dk3, dv3 = pl.pallas_call(
         functools.partial(dkv_kernel, scale=scale, t_actual=t_actual),
@@ -239,7 +247,7 @@ def _bwd(block_q, interpret, scale, res, g4):
             jax.ShapeDtypeStruct((bh, t_pad, d), v3.dtype),
         ),
         interpret=interpret,
-    )(*args2, g3, lse, dd)
+    )(*args2, g3, lse_row, dd_row)
 
     b = g4.shape[0]
     h = g4.shape[1]
@@ -269,17 +277,17 @@ def _flash_fwd(q, k, v, bias, block_q, interpret):
         return _pad_to(x.reshape(b * h, t, d), t_pad, 1)
 
     q3, k3, v3 = flat(q), flat(k), flat(v)
-    bias2 = None
+    bias_row = None
     if bias is not None:
-        # [B, 1, 1, T] additive mask -> [BH, Tpad] (pad with -inf)
+        # [B, 1, 1, T] additive mask -> [BH, 1, Tpad] row layout (pad -inf)
         bias2 = jnp.broadcast_to(bias[:, 0, 0, :], (b, t))
         bias2 = jnp.repeat(bias2, h, axis=0)
         bias2 = jnp.pad(bias2, ((0, 0), (0, t_pad - t)), constant_values=_NEG_INF)
-        bias2 = bias2.astype(jnp.float32)
+        bias_row = bias2.astype(jnp.float32)[:, None, :]
 
-    o3, lse = _fwd(q3, k3, v3, bias2, scale, block_q, interpret, t)
+    o3, lse_col = _fwd(q3, k3, v3, bias_row, scale, block_q, interpret, t)
     out = o3[:, :t].reshape(b, h, t, d)
-    return out, (q3, k3, v3, bias2, bias, o3, lse)
+    return out, (q3, k3, v3, bias_row, bias, o3, lse_col)
 
 
 def _flash_bwd(block_q, interpret, res, g):

@@ -59,6 +59,10 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """Scaled dot-product attention over [B, H, T, D] tensors."""
     if impl == "pallas":
+        if bias is not None and (bias.ndim != 4 or bias.shape[1:3] != (1, 1)):
+            # The flash kernel fuses only rank-1 ([B, 1, 1, T]) mask biases;
+            # full [B, H, T, T] biases (rel-pos scores) take the XLA path.
+            return _xla_attention(q, k, v, bias)
         from asr_shap.kernels.flash_attention import flash_attention
 
         return flash_attention(q, k, v, bias)

@@ -1,13 +1,27 @@
 """End-to-end attribution pipeline — the equivalent of running
 ``python shap_calculation.py`` (reference call stack in SURVEY.md section 3.1),
 redesigned so the hot loop is a single jitted, optionally mesh-sharded
-computation per sample and the host only moves data at the edges.
+computation per *length bucket* and the host only moves data at the edges.
+
+The reference explains test samples strictly serially
+(shap_calculation.py:176). Here the test-set axis is batched too
+(SURVEY.md section 2.3 "the perturbation loop is the parallelism
+opportunity"): samples are grouped into exact-length buckets — the clean
+clip and its SNR variants always share a length, so buckets of >= 4 come
+for free — and the per-sample computation is vmapped over the bucket.
+Exact-length bucketing (no padding) keeps per-sample numerics bitwise
+identical to the serial path for every model variant, including the
+group-norm wav2vec2-base whose statistics couple across time. Under a mesh
+the bucket's sample axis is sharded over the devices with shard_map, each
+device explaining its share end-to-end (draws stay on-device).
 
 Per sample: normalize (D2) -> confidence + greedy transcript (one forward)
 -> expected-gradients attribution matrix -> persist the
 (audio, noise, shap_values, text) quadruple under the reference npy naming
 contract. Resumable: samples already complete in the store are skipped
 (capability absent upstream — SURVEY.md section 5 checkpoint/resume).
+Per-sample PRNG keys derive from the global sample index, so results are
+independent of bucketing and device count.
 """
 
 from __future__ import annotations
@@ -19,16 +33,15 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from asr_shap.audio.normalize import zero_mean_unit_var
 from asr_shap.core.config import PipelineConfig, WAV2VEC2_VOCAB
 from asr_shap.core.prng import fold
 from asr_shap.core.store import AttributionStore, key_for
 from asr_shap.explain.baselines import zeros_noise_background
-from asr_shap.explain.expected_gradients import (
-    expected_gradients,
-    expected_gradients_sharded,
-)
+from asr_shap.explain.expected_gradients import expected_gradients
 from asr_shap.metrics.confidence import mean_max_softmax_confidence
 from asr_shap.models.heads import aggregation_head
 from asr_shap.models.wav2vec2 import wav2vec2_logits
@@ -38,12 +51,12 @@ from asr_shap.utils.debug import check_finite
 logger = logging.getLogger(__name__)
 
 
-def _build_step(cfg: PipelineConfig, mesh=None):
-    """One jitted computation per input length: logits diagnostics + the
-    full attribution matrix. ``params`` is a jit ARGUMENT (not a closure) so
-    the weights stay device-resident data instead of being baked into the
-    HLO as constants — at 94M params a closure bloats the program past what
-    compile services accept."""
+def _sample_step(cfg: PipelineConfig):
+    """Single-sample computation (params, x [N], key) -> (phi, conf, ids,
+    keep). ``params`` is an ARGUMENT (not a closure) so the weights stay
+    device-resident data instead of being baked into the HLO as constants —
+    at 94M params a closure bloats the program past what compile services
+    accept."""
     mc, ec = cfg.model, cfg.explainer
 
     def step(params, x, key):
@@ -59,13 +72,34 @@ def _build_step(cfg: PipelineConfig, mesh=None):
         logits = wav2vec2_logits(params, mc, x[None, :])
         conf = mean_max_softmax_confidence(logits)[0]
         ids, keep = ctc_greedy_decode(logits)
-        if mesh is None:
-            expl = expected_gradients(f, x, bg, fold(key, 1), ec)
-        else:
-            expl = expected_gradients_sharded(f, x, bg, fold(key, 1), mesh, ec)
+        expl = expected_gradients(f, x, bg, fold(key, 1), ec)
         return expl.values, conf, ids[0], keep[0]
 
-    return jax.jit(step)
+    return step
+
+
+def _build_bucket_step(cfg: PipelineConfig, mesh=None):
+    """jitted (params, xs [S, N], keys [S]) -> per-sample results, vmapped
+    over the bucket's sample axis; with a mesh the sample axis is sharded
+    over the first mesh axis (S must be a multiple of the axis size — the
+    caller pads)."""
+    step = _sample_step(cfg)
+    if mesh is None:
+        return jax.jit(jax.vmap(step, in_axes=(None, 0, 0)))
+
+    axis = mesh.axis_names[0]
+
+    def sharded(params, xs, keys):
+        local = jax.vmap(step, in_axes=(None, 0, 0))
+        return shard_map(
+            lambda p, x_, k_: local(p, x_, k_),
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )(params, xs, keys)
+
+    return jax.jit(sharded)
 
 
 def run_shap_pipeline(
@@ -79,41 +113,74 @@ def run_shap_pipeline(
     """Compute and persist attributions for every sample in ``test_set``.
 
     Returns per-sample result dicts (shap matrix, transcription, confidence,
-    wall-clock). jit caches one executable per distinct audio length."""
+    wall-clock). jit caches one executable per distinct audio length; all
+    samples of that length run as one batched (or mesh-sharded) call.
+    """
     store = store or AttributionStore(cfg.data_dir)
-    step = _build_step(cfg, mesh)
+    step = _build_bucket_step(cfg, mesh)
     key = jax.random.key(cfg.seed)
 
-    results = []
+    # resume filter, then exact-length buckets
+    pending: List[int] = []
     for i, sample in enumerate(test_set):
         skey = key_for(i, sample["type"], sample["snr"])
         if resume and store.completed(skey):
             logger.info("sample %d (%s) already computed — skipping", i, skey)
             continue
+        pending.append(i)
 
-        x = zero_mean_unit_var(jnp.asarray(sample["audio"]))
-        t0 = time.perf_counter()
-        phi, conf, ids, keep = step(params, x, fold(key, i))
-        phi = np.asarray(phi)  # device->host once, at the end
-        wall = time.perf_counter() - t0
-        check_finite(phi, f"shap_values[sample {i}]")
+    buckets: Dict[int, List[int]] = {}
+    for i in pending:
+        buckets.setdefault(len(test_set[i]["audio"]), []).append(i)
 
-        transcription = ctc_ids_to_text(np.asarray(ids), np.asarray(keep), WAV2VEC2_VOCAB)
-        store.save(skey, sample["audio"], sample["noise"], phi, sample["text"])
-        results.append(
-            {
-                "key": skey,
-                "shap_values": phi,
-                "transcription": transcription,
-                "confidence": float(conf),
-                "wall_s": wall,
-                "snr": sample["snr"],
-                "type": sample["type"],
-            }
+    ndev = 1 if mesh is None else int(np.prod(mesh.devices.shape[:1]))
+    results = []
+    for length in sorted(buckets):
+        idxs = buckets[length]
+        xs = jnp.stack(
+            [zero_mean_unit_var(jnp.asarray(test_set[i]["audio"])) for i in idxs]
         )
+        keys = jnp.stack([fold(key, i) for i in idxs])
+
+        pad = (-len(idxs)) % ndev
+        if pad:  # mesh path: fill with repeats, dropped below
+            xs = jnp.concatenate([xs, jnp.repeat(xs[:1], pad, axis=0)])
+            keys = jnp.concatenate([keys, jnp.repeat(keys[:1], pad, axis=0)])
+
+        t0 = time.perf_counter()
+        phis, confs, ids, keeps = step(params, xs, keys)
+        phis = np.asarray(phis)  # device->host once per bucket
+        wall = time.perf_counter() - t0
+        confs, ids, keeps = np.asarray(confs), np.asarray(ids), np.asarray(keeps)
+
+        for j, i in enumerate(idxs):
+            sample = test_set[i]
+            skey = key_for(i, sample["type"], sample["snr"])
+            phi = phis[j]
+            check_finite(phi, f"shap_values[sample {i}]")
+            transcription = ctc_ids_to_text(ids[j], keeps[j], WAV2VEC2_VOCAB)
+            store.save(skey, sample["audio"], sample["noise"], phi, sample["text"])
+            results.append(
+                {
+                    "index": i,
+                    "key": skey,
+                    "shap_values": phi,
+                    "transcription": transcription,
+                    "confidence": float(confs[j]),
+                    "wall_s": wall / len(idxs),
+                    "snr": sample["snr"],
+                    "type": sample["type"],
+                }
+            )
+            logger.info(
+                "sample %d (%s, snr=%s): %.2fs/sample, conf=%.3f, '%s'",
+                i, sample["type"], sample["snr"], wall / len(idxs),
+                float(confs[j]), transcription[:50],
+            )
         logger.info(
-            "sample %d (%s, snr=%s): %.2fs, conf=%.3f, '%s'",
-            i, sample["type"], sample["snr"], wall, float(conf), transcription[:50],
+            "bucket len=%d: %d samples in %.2fs (%.2fs/sample)",
+            length, len(idxs), wall, wall / len(idxs),
         )
     store.write_manifest()
+    results.sort(key=lambda r: r["index"])  # test-set order, as the serial path
     return results

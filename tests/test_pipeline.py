@@ -97,3 +97,68 @@ def test_run_pipeline_and_sweep(tiny_testset, tiny_config, tmp_path):
     for r in records:
         assert 0.0 <= r["eta_raw"] <= 1.0
         assert np.isfinite(r["wer"])
+
+
+def test_bucketed_run_matches_serial_semantics(tiny_testset, tiny_config, tmp_path):
+    """The batched (length-bucketed, vmapped) pipeline must reproduce the
+    serial per-sample computation exactly: same fold-key derivation, same
+    expected-gradients result."""
+    import jax.numpy as jnp
+
+    from asr_shap.audio.normalize import zero_mean_unit_var
+    from asr_shap.core.prng import fold
+    from asr_shap.explain.baselines import zeros_noise_background
+    from asr_shap.explain.expected_gradients import expected_gradients
+    from asr_shap.models.heads import make_explained_fn
+
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    ecfg = ExplainerConfig(nsamples=2, draw_chunk=2, num_background=2)
+    pcfg = PipelineConfig(model=tiny_config, explainer=ecfg, testset=cfg,
+                          data_dir=str(tmp_path))
+    results = run_shap_pipeline(params, pcfg, ts, AttributionStore(str(tmp_path)))
+
+    # serial oracle for sample 1 (the noisy one)
+    i = 1
+    key = jax.random.key(pcfg.seed)
+    skey = fold(key, i)
+    x = zero_mean_unit_var(jnp.asarray(ts[i]["audio"]))
+    f = make_explained_fn(params, tiny_config, ecfg)
+    bg = zeros_noise_background(fold(skey, 0), x.shape[0], 2,
+                                ecfg.background_sigma)
+    expl = expected_gradients(f, x, bg, fold(skey, 1), ecfg)
+    np.testing.assert_allclose(
+        results[i]["shap_values"], np.asarray(expl.values), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sample_sharded_run_matches_unmeshed(tiny_testset, tiny_config, tmp_path):
+    """Under a mesh the bucket's sample axis shards over the devices (with
+    padding to the axis size); results must match the mesh-free run."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    ecfg = ExplainerConfig(nsamples=2, draw_chunk=2, num_background=2)
+    pcfg = PipelineConfig(model=tiny_config, explainer=ecfg, testset=cfg)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    r_mesh = run_shap_pipeline(
+        params, dataclasses_replace(pcfg, data_dir=str(tmp_path / "m")),
+        ts, AttributionStore(str(tmp_path / "m")), mesh=mesh)
+    r_flat = run_shap_pipeline(
+        params, dataclasses_replace(pcfg, data_dir=str(tmp_path / "f")),
+        ts, AttributionStore(str(tmp_path / "f")))
+    for a, b in zip(r_mesh, r_flat):
+        assert a["key"] == b["key"]
+        np.testing.assert_allclose(a["shap_values"], b["shap_values"],
+                                   rtol=1e-5, atol=1e-6)
+        assert a["transcription"] == b["transcription"]
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)

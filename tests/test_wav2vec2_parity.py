@@ -138,3 +138,40 @@ def test_padded_batch_matches_unpadded(rng):
     both = np.asarray(wav2vec2_logits(params, cfg, jnp.asarray(batch), lengths))
     t_b = cfg.frames_for_samples(1000)
     np.testing.assert_allclose(both[1, :t_b], alone[0], rtol=1e-3, atol=1e-4)
+
+
+def test_converter_golden_fixture(rng):
+    """Regression pin for the full-size converter+forward combo
+    (models/convert_hf.py:121-148): a fixed-seed torch base-960h-architecture
+    model, converted, must reproduce the committed logits fixture
+    (tests/fixtures/hf_convert_golden.npz). Catches silent numeric drift in
+    either the converter mapping or the forward."""
+    import os
+
+    import jax.numpy as jnp
+
+    fix = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                               "hf_convert_golden.npz"))
+    cfg = Wav2Vec2Config()
+    hf_cfg = transformers.Wav2Vec2Config(
+        apply_spec_augment=False, layerdrop=0.0, hidden_dropout=0.0,
+        attention_dropout=0.0, feat_proj_dropout=0.0, final_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = transformers.Wav2Vec2ForCTC(hf_cfg)
+    model.eval()
+    params = convert_wav2vec2_state_dict(model.state_dict(), cfg)
+
+    audio = np.asarray(
+        np.sin(2 * np.pi * 220 * np.arange(16000) / 16000)
+        + 0.1 * np.random.default_rng(7).standard_normal(16000),
+        np.float32,
+    )
+    np.testing.assert_allclose(audio[:64], fix["audio_head"], atol=0)
+
+    ours = np.asarray(wav2vec2_logits(params, cfg, jnp.asarray(audio)[None]))
+    assert ours.shape[1] == int(fix["t_frames"])
+    np.testing.assert_allclose(ours[0, :4, :], fix["logits_frames"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours.mean(), fix["logits_mean"], atol=1e-5)
+    np.testing.assert_allclose(ours.std(), fix["logits_std"], rtol=1e-4)
