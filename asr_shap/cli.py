@@ -91,7 +91,8 @@ def cmd_run_shap(args):
     pcfg = PipelineConfig(
         model=cfg,
         explainer=ExplainerConfig(nsamples=args.nsamples,
-                                  draw_chunk=args.draw_chunk),
+                                  draw_chunk=args.draw_chunk,
+                                  method=args.method),
         testset=tcfg, data_dir=args.data_dir, seed=args.seed,
     )
     test_set = create_test_set(tcfg)
@@ -205,6 +206,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-length", type=int, default=0)
     p.add_argument("--nsamples", type=int, default=200)
     p.add_argument("--draw-chunk", type=int, default=1)
+    p.add_argument("--method", choices=["grad", "deep"], default="grad",
+                   help="grad = GradientExplainer (expected gradients); "
+                        "deep = DeepExplainer (DeepSHAP rescale rules)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", action="store_true", help="shard draws over devices")
     p.add_argument("--no-resume", action="store_true")

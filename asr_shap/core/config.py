@@ -170,6 +170,10 @@ class ExplainerConfig:
     nsamples: int = 200
     num_background: int = 5
     background_sigma: float = 0.01  # zeros + sigma*N(0,1) (shap_calculation.py:127)
+    # Attribution method: "grad" = expected gradients (GradientExplainer,
+    # the main pipeline, shap_calculation.py:133); "deep" = DeepSHAP rescale
+    # rules through the dual-mode forward (DeepExplainer, test_shap_asr.py:67).
+    method: str = "grad"
     # Aggregation head defining the explained function (SURVEY.md section 3.5):
     #   "max"        -> max over vocab per frame    [T]   (shap_calculation.py:50)
     #   "mean"       -> mean over vocab per frame   [T]   (test_shap_asr.py:36)

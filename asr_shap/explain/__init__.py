@@ -1,8 +1,10 @@
 from asr_shap.explain.baselines import zeros_noise_background, kmeans_background
 from asr_shap.explain.deepshap import (
     DeepExplanation,
+    deep_explain_wav2vec2,
     deep_shap_values,
     dual,
+    wav2vec2_dual_fn,
     gelu_rescale,
     glu_rescale,
     relu_rescale,
@@ -27,6 +29,8 @@ __all__ = [
     "kmeans_background",
     "DeepExplanation",
     "deep_shap_values",
+    "deep_explain_wav2vec2",
+    "wav2vec2_dual_fn",
     "dual",
     "silu_rescale",
     "gelu_rescale",

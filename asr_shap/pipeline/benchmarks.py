@@ -56,11 +56,16 @@ def run_length_sweep(
                 f = make_explained_fn(p, cfg, ecfg)
                 return expected_gradients(f, xx, bg, kk, ecfg).values
 
+            def sync(a):
+                # block_until_ready is a no-op through remote-execution
+                # relays; a device->host transfer is the reliable barrier
+                np.asarray(a.ravel()[:1])
+
             t0 = time.perf_counter()
-            run(params, x, jax.random.key(2)).block_until_ready()
+            sync(run(params, x, jax.random.key(2)))
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
-            run(params, x, jax.random.key(3)).block_until_ready()
+            sync(run(params, x, jax.random.key(3)))
             wall = time.perf_counter() - t0
             chunk = max(1, draw_chunk)
             total_draws = -(-nsamples // chunk) * chunk

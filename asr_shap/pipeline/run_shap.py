@@ -72,7 +72,13 @@ def _sample_step(cfg: PipelineConfig):
         logits = wav2vec2_logits(params, mc, x[None, :])
         conf = mean_max_softmax_confidence(logits)[0]
         ids, keep = ctc_greedy_decode(logits)
-        expl = expected_gradients(f, x, bg, fold(key, 1), ec)
+        if ec.method == "deep":
+            from asr_shap.explain.deepshap import deep_shap_values, wav2vec2_dual_fn
+
+            f_dual = wav2vec2_dual_fn(params, mc, ec)
+            expl = deep_shap_values(f_dual, x, bg, ec.output_chunk)
+        else:
+            expl = expected_gradients(f, x, bg, fold(key, 1), ec)
         return expl.values, conf, ids[0], keep[0]
 
     return step

@@ -129,3 +129,60 @@ def repeat_upsample(frame_values: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Nearest-neighbour upsampling by integer repeat
     (w2v2conformer.py:158-162 capability)."""
     return jnp.repeat(frame_values, factor, axis=-1)
+
+
+def shap_amplify(
+    audio: jnp.ndarray, shap_matrix: jnp.ndarray, factor: float = 2.0
+) -> jnp.ndarray:
+    """SHAP-weighted audio amplification
+    (audio_amplification_wav2vec2_test.py:117-156): mean attribution over
+    output frames, min-max normalized (flat input -> all-ones), then
+    ``audio * (1 + norm * factor)``."""
+    per_sample = jnp.mean(shap_matrix, axis=-1)  # [N]
+    lo, hi = jnp.min(per_sample), jnp.max(per_sample)
+    flat = (hi - lo) < 1e-12
+    norm = jnp.where(
+        flat, jnp.ones_like(per_sample), (per_sample - lo) / jnp.where(flat, 1.0, hi - lo)
+    )
+    return audio * (1.0 + norm * factor)
+
+
+def rms_frames(
+    audio: jnp.ndarray, frame_length: int = 2048, hop_length: int = 512
+) -> jnp.ndarray:
+    """Per-frame RMS energy, librosa.feature.rms semantics (centered frames,
+    zero padding; 1 + N//hop frames)."""
+    n = audio.shape[-1]
+    pad = frame_length // 2
+    y = jnp.pad(audio, (pad, pad))
+    n_frames = 1 + n // hop_length
+    starts = jnp.arange(n_frames) * hop_length
+    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
+    frames = y[jnp.clip(idx, 0, y.shape[-1] - 1)]
+    frames = jnp.where(idx < y.shape[-1], frames, 0.0)
+    return jnp.sqrt(jnp.mean(frames**2, axis=-1))
+
+
+def amplify_quiet_sections(
+    audio: jnp.ndarray,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+    energy_threshold: float = 0.01,
+    amplification_factor: float = 5.0,
+) -> jnp.ndarray:
+    """RMS-threshold quiet-section amplification, the pre-SHAP prototype
+    (audio_amplification_test.ipynb ``amplify_quiet_sections``): every frame
+    whose RMS is below ``energy_threshold`` multiplies its [i*hop,
+    i*hop+frame_length) span by the factor — overlapping quiet frames
+    compound, exactly like the reference's in-place loop — then the result
+    clips to [-1, 1]. Vectorized: the per-sample coverage count is one
+    convolution of the quiet-frame impulse train."""
+    n = audio.shape[-1]
+    rms = rms_frames(audio, frame_length, hop_length)
+    quiet = (rms < energy_threshold).astype(audio.dtype)
+    n_frames = quiet.shape[0]
+    train = jnp.zeros(max(n, (n_frames - 1) * hop_length + 1), audio.dtype)
+    train = train.at[jnp.arange(n_frames) * hop_length].set(quiet)
+    counts = jnp.convolve(train, jnp.ones(frame_length, audio.dtype))[:n]
+    gain = amplification_factor ** jnp.round(counts)
+    return jnp.clip(audio * gain, -1.0, 1.0)

@@ -16,9 +16,24 @@ is perturbation passes/sec/chip.
                 the reference's `cuda if available else cpu` path on this
                 host — reference hardware is unspecified, BASELINE.md)
 
+The JSON carries the honest complementary numbers alongside the protocol
+metric: wall-clock per full explanation, analytic FLOP throughput, and an
+MFU estimate against v5e bf16 peak.
+
+Tuned defaults (measured on the bench v5e, artifacts/bench_sweep_tpu.jsonl):
+  * matmul precision "default" (bf16 MXU passes, f32 phi accumulation):
+    3.4x faster than "highest" with |phi| checksum moving only 0.06% —
+    attribution parity well inside the smoothed/normalized tolerance the
+    downstream consumes. Parity tests keep "highest".
+  * attention_impl "xla": at ASR frame counts (~150) XLA's fused attention
+    beats the Pallas flash kernel (1542 vs 969 passes/s); the kernel's
+    VMEM win only pays at long sequence lengths.
+  * draw_chunk 1: chunk>1 compiles fine on CPU (mesh tests) but exceeds
+    this host's remote-compile service limits.
+
 Env overrides: BENCH_AUDIO_LEN (default 48000), BENCH_NSAMPLES (default 32),
-BENCH_TORCH_PASSES (default 2), BENCH_SKIP_TORCH=1 to reuse the cached
-baseline in .bench_baseline.json.
+BENCH_PRECISION, BENCH_DRAW_CHUNK, BENCH_ATTN, BENCH_TORCH_PASSES (default
+2), BENCH_SKIP_TORCH=1 to reuse the cached baseline in .bench_baseline.json.
 """
 
 from __future__ import annotations
@@ -47,7 +62,8 @@ def measure_ours() -> tuple[float, int]:
     from asr_shap.models.wav2vec2 import init_wav2vec2_params
 
     cfg = Wav2Vec2Config(
-        matmul_precision=os.environ.get("BENCH_PRECISION", "highest")
+        matmul_precision=os.environ.get("BENCH_PRECISION", "default"),
+        attention_impl=os.environ.get("BENCH_ATTN", "xla"),
     )
     t_frames = cfg.frames_for_samples(AUDIO_LEN)
     params = init_wav2vec2_params(jax.random.key(0), cfg)
@@ -71,18 +87,62 @@ def measure_ours() -> tuple[float, int]:
         f = make_explained_fn(p, cfg, ecfg)
         return expected_gradients(f, xx, bg, kk, ecfg).values
 
+    def sync(a):
+        # block_until_ready is a no-op through remote-execution relays;
+        # a device->host transfer is the only reliable completion barrier
+        np.asarray(a.ravel()[:1])
+
     phi = run(params, x, jax.random.key(2))
-    phi.block_until_ready()
+    sync(phi)
 
     t0 = time.perf_counter()
     phi = run(params, x, jax.random.key(3))
-    phi.block_until_ready()
+    sync(phi)
     wall = time.perf_counter() - t0
 
     chunk = max(1, ecfg.draw_chunk)
     total_draws = -(-NSAMPLES // chunk) * chunk
     passes = total_draws * t_frames
-    return passes / wall, t_frames
+    flops = _analytic_flops(cfg, AUDIO_LEN, total_draws, t_frames,
+                            remat=ecfg.remat)
+    extras = {
+        "wall_per_explanation_s": round(wall, 3),
+        "draws": total_draws,
+        "t_frames": t_frames,
+        "tflops_effective": round(flops / wall / 1e12, 1),
+        "mfu_vs_v5e_bf16_peak": round(flops / wall / 197e12, 3),
+        "precision": cfg.matmul_precision,
+        "attention_impl": cfg.attention_impl,
+    }
+    return passes / wall, t_frames, extras
+
+
+def _analytic_flops(cfg, audio_len: int, draws: int, t_frames: int,
+                    remat: bool) -> float:
+    """Deterministic FLOP count of one explanation (all draws).
+
+    Per draw: one forward + t_frames input-cotangent backward rows through
+    the batched VJP; a backward row costs ~= a forward; remat replays the
+    forward once per backward batch. XLA's cost_analysis under-counts scan
+    bodies, so the estimate is analytic.
+    """
+    # conv feature encoder forward FLOPs
+    conv = 0
+    t = audio_len
+    cin = 1
+    for co, k, s_ in zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride):
+        t = (t - k) // s_ + 1
+        conv += 2 * k * cin * co * t
+        cin = co
+    d, ffn, lyr = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    # per-layer: qkv+out projections, 2 attention matmuls, 2 ffn matmuls
+    enc = lyr * (2 * 4 * d * d * t_frames
+                 + 2 * 2 * d * t_frames * t_frames
+                 + 2 * 2 * d * ffn * t_frames)
+    head = 2 * d * cfg.vocab_size * t_frames
+    fwd = conv + enc + head
+    per_draw = fwd + t_frames * fwd + (fwd if remat else 0.0)
+    return float(draws) * per_draw
 
 
 def measure_torch_baseline(t_frames: int) -> float:
@@ -110,7 +170,7 @@ def measure_torch_baseline(t_frames: int) -> float:
 
 
 def main():
-    ours, t_frames = measure_ours()
+    ours, t_frames, extras = measure_ours()
 
     baseline = None
     if os.environ.get("BENCH_SKIP_TORCH") and os.path.exists(BASELINE_CACHE):
@@ -132,6 +192,7 @@ def main():
         "value": round(ours, 2),
         "unit": "passes/sec",
         "vs_baseline": round(ours / baseline, 2) if baseline == baseline else None,
+        **extras,
     }
     print(json.dumps(result))
 

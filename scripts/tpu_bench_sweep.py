@@ -22,6 +22,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 AUDIO_LEN = int(os.environ.get("BENCH_AUDIO_LEN", 48000))
 NSAMPLES = int(os.environ.get("BENCH_NSAMPLES", 32))
 OUT = os.path.join(os.path.dirname(__file__), "..", "artifacts", "bench_sweep_tpu.jsonl")
@@ -67,13 +69,16 @@ def run_config(attention_impl: str, draw_chunk: int, precision: str):
     except Exception:
         pass
 
+    def sync(a):
+        np.asarray(a.ravel()[:1])  # relay-safe completion barrier
+
     phi = compiled(params, x, jax.random.key(2))
-    phi.block_until_ready()
+    sync(phi)
     walls = []
     for i in range(3):
         t0 = time.perf_counter()
         phi = compiled(params, x, jax.random.key(3 + i))
-        phi.block_until_ready()
+        sync(phi)
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
 

@@ -15,9 +15,12 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDIO_LEN = int(os.environ.get("BENCH_AUDIO_LEN", 48000))
 OUT = os.path.join(os.path.dirname(__file__), "..", "artifacts", "kernel_decision.md")
@@ -25,16 +28,25 @@ V5E_BF16_PEAK = 197e12
 V5E_HBM_GBS = 819e9
 
 
-def _time(fn, *args):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else None
-    out = fn(*args)
-    (out[0] if isinstance(out, tuple) else out).block_until_ready()
+def _sync(out):
+    """Force completion. block_until_ready is a NO-OP through the axon
+    remote-execution relay — only a device->host transfer actually waits, so
+    pull one element of the first output leaf."""
+    import jax
+
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def _time(fn, *args, reps: int = 20):
+    _sync(fn(*args))  # warmup/compile
     walls = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        out = fn(*args)
-        (out[0] if isinstance(out, tuple) else out).block_until_ready()
-        walls.append(time.perf_counter() - t0)
+        for _ in range(reps):
+            out = fn(*args)
+        _sync(out)
+        walls.append((time.perf_counter() - t0) / reps)
     return min(walls)
 
 

@@ -162,3 +162,26 @@ def dataclasses_replace(cfg, **kw):
     import dataclasses
 
     return dataclasses.replace(cfg, **kw)
+
+
+def test_run_pipeline_deepshap_method(tiny_testset, tiny_config, tmp_path):
+    """method="deep" routes the pipeline through the DeepSHAP dual forward
+    (DeepExplainer-as-pipeline, reference test_shap_asr.py:66-67)."""
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    pcfg = PipelineConfig(
+        model=tiny_config,
+        explainer=ExplainerConfig(method="deep", num_background=2,
+                                  aggregation="mean", remat=False),
+        testset=cfg, data_dir=str(tmp_path),
+    )
+    results = run_shap_pipeline(params, pcfg, ts[:1], AttributionStore(str(tmp_path)))
+    assert len(results) == 1
+    phi = results[0]["shap_values"]
+    n = len(ts[0]["audio"])
+    assert phi.shape == (n, tiny_config.frames_for_samples(n))
+    assert np.isfinite(phi).all()
+    # deterministic (DeepExplainer has no sampling beyond the background)
+    r2 = run_shap_pipeline(params, pcfg, ts[:1],
+                           AttributionStore(str(tmp_path)), resume=False)
+    np.testing.assert_array_equal(phi, r2[0]["shap_values"])

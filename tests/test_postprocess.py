@@ -132,3 +132,63 @@ def test_frame_to_sample_interp():
 def test_repeat_upsample():
     out = np.asarray(repeat_upsample(jnp.asarray([1.0, 2.0]), 3))
     np.testing.assert_array_equal(out, [1, 1, 1, 2, 2, 2])
+
+
+def test_shap_amplify_matches_reference_semantics(rng):
+    """audio * (1 + minmax(mean-over-frames) * factor)
+    (audio_amplification_wav2vec2_test.py:117-156), flat input -> all-ones."""
+    from asr_shap.postprocess.attribution import shap_amplify
+
+    audio = rng.standard_normal(400).astype(np.float32)
+    phi = rng.standard_normal((400, 7)).astype(np.float32)
+    out = np.asarray(shap_amplify(jnp.asarray(audio), jnp.asarray(phi), 2.0))
+    agg = phi.mean(axis=1)
+    norm = (agg - agg.min()) / (agg.max() - agg.min())
+    np.testing.assert_allclose(out, audio * (1 + norm * 2.0), rtol=1e-5, atol=1e-6)
+
+    flat = np.asarray(shap_amplify(jnp.asarray(audio),
+                                   jnp.ones((400, 7), np.float32), 2.0))
+    np.testing.assert_allclose(flat, audio * 3.0, rtol=1e-6)
+
+
+def test_amplify_quiet_sections_matches_loop_oracle(rng):
+    """The vectorized quiet-section amplifier must reproduce the reference's
+    per-frame in-place loop (audio_amplification_test.ipynb), including
+    compounding of overlapping quiet frames and the final clip."""
+    from asr_shap.postprocess.attribution import amplify_quiet_sections, rms_frames
+
+    sr = 4000
+    t = np.arange(2 * sr) / sr
+    amp = np.ones_like(t, dtype=np.float32)
+    amp[3000:5000] = 0.004  # quiet middle
+    audio = (amp * np.sin(2 * np.pi * 440 * t)).astype(np.float32) * 0.5
+
+    F, H, thr, fac = 512, 128, 0.01, 5.0
+    rms = np.asarray(rms_frames(jnp.asarray(audio), F, H))
+    # reference loop oracle
+    y = audio.copy()
+    for i in range(len(rms)):
+        if rms[i] < thr:
+            s0 = i * H
+            y[s0: min(s0 + F, len(y))] *= fac
+    y = np.clip(y, -1.0, 1.0)
+
+    ours = np.asarray(amplify_quiet_sections(jnp.asarray(audio), F, H, thr, fac))
+    np.testing.assert_allclose(ours, y, rtol=1e-4, atol=1e-5)
+
+
+def test_rms_frames_matches_librosa_convention(rng):
+    """Centered frames, zero pad, 1 + n//hop frames — scipy-free oracle."""
+    from asr_shap.postprocess.attribution import rms_frames
+
+    audio = rng.standard_normal(3000).astype(np.float32)
+    F, H = 256, 64
+    out = np.asarray(rms_frames(jnp.asarray(audio), F, H))
+    pad = F // 2
+    y = np.pad(audio, (pad, pad))
+    expect = np.array([
+        np.sqrt(np.mean(y[i * H: i * H + F] ** 2))
+        for i in range(1 + 3000 // H)
+    ])
+    assert out.shape == expect.shape
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
