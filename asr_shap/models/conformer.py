@@ -172,9 +172,11 @@ def init_subsampling_params(key: jax.Array, cfg: ConformerConfig) -> Params:
 # ------------------------------------------------------------------ forward
 
 def _ln(p, x, eps):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # f32 statistics regardless of compute dtype (mixed-precision stability)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * lax.rsqrt(var + eps) * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def _lin(p, x):
@@ -297,8 +299,18 @@ def conformer_encode(
     """Features [..., T, input_dim] -> encoded [..., T', hidden]. The leading
     axes may be a batch, or the dual axis of a DeepSHAP forward. With a
     "striding" subsampler T' = cfg.subsampled_length(T); ``lengths`` are
-    then given in subsampled frames."""
-    with jax.default_matmul_precision("highest"):
+    then given in subsampled frames. ``cfg.dtype="bfloat16"`` casts params
+    and activations to bf16 (f32 norm statistics)."""
+    compute_dtype = jnp.dtype(cfg.dtype)
+    if compute_dtype != jnp.float32:
+        params = jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
+        x = x.astype(compute_dtype)
+    with jax.default_matmul_precision("highest" if compute_dtype == jnp.float32
+                                      else "default"):
         if "subsampling" in params:
             x = conv_subsampling(params["subsampling"], cfg, x)
         elif "input_proj" in params:
@@ -338,4 +350,7 @@ def conformer_logits(
     """Log-mel features -> CTC logits [..., T, vocab]."""
     h = conformer_encode(params, cfg, features, lengths, rules, remat)
     with jax.default_matmul_precision("highest"):
-        return _lin(params["head"], h)
+        head = params["head"]
+        if h.dtype != jnp.float32:
+            head = jax.tree.map(lambda a: a.astype(h.dtype), head)
+        return _lin(head, h).astype(jnp.float32)

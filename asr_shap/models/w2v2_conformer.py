@@ -234,8 +234,18 @@ def w2v2_conformer_logits(
     ``rules``/``gelu`` plug the DeepSHAP rescale ops in for dual-mode
     forwards (pass ``conformer.deepshap_rules()`` and
     ``deepshap.gelu_rescale`` with the batch axis as the dual pair).
+    ``config.dtype="bfloat16"`` runs params+activations in bf16 with f32
+    norm statistics; logits always return float32.
     """
     cfg = config
+    compute_dtype = jnp.dtype(cfg.dtype)
+    if compute_dtype != jnp.float32:
+        params = jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
+        input_values = input_values.astype(compute_dtype)
     with jax.default_matmul_precision(cfg.matmul_precision):
         feats = feature_encoder(params, cfg, input_values, gelu)
         fp = params["feature_projection"]
@@ -269,4 +279,4 @@ def w2v2_conformer_logits(
         h, _ = lax.scan(body, h, params["encoder"]["layers"])
 
         h = _layer_norm(params["encoder"]["layer_norm"], h, cfg.layer_norm_eps)
-        return _linear(params["lm_head"], h)
+        return _linear(params["lm_head"], h).astype(jnp.float32)

@@ -54,9 +54,13 @@ def _gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # statistics in float32 regardless of compute dtype (bf16 mean/var is
+    # the classic mixed-precision instability), output in input dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * lax.rsqrt(var + eps)
+    return (out * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def _group_norm(p: Params, x: jnp.ndarray, num_groups: int, eps: float) -> jnp.ndarray:
@@ -64,11 +68,11 @@ def _group_norm(p: Params, x: jnp.ndarray, num_groups: int, eps: float) -> jnp.n
     semantics on a [B, C, T] tensor."""
     b, t, c = x.shape
     g = num_groups
-    xg = x.reshape(b, t, g, c // g)
+    xg = x.astype(jnp.float32).reshape(b, t, g, c // g)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.var(xg, axis=(1, 3), keepdims=True)
     xg = (xg - mean) * lax.rsqrt(var + eps)
-    return xg.reshape(b, t, c) * p["scale"] + p["bias"]
+    return (xg.reshape(b, t, c) * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -204,7 +208,9 @@ def feature_encoder(
     params: Params, config: Wav2Vec2Config, x: jnp.ndarray, gelu=_gelu
 ) -> jnp.ndarray:
     """Raw waveform [B, N] -> features [B, T, 512]. x320 total stride."""
-    h = x[..., None].astype(jnp.float32)  # [B, N, 1]
+    h = x[..., None]  # [B, N, 1]
+    if h.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
+        h = h.astype(jnp.float32)
     for i, layer in enumerate(params["feature_encoder"]):
         h = _conv1d(
             h,
@@ -316,8 +322,19 @@ def wav2vec2_logits(
     gelu=_gelu,
 ) -> jnp.ndarray:
     """Normalized waveform [B, N] (see audio.normalize) -> CTC logits
-    [B, T_frames, vocab]. ``lengths`` enables padded batching."""
+    [B, T_frames, vocab] (always float32 out). ``lengths`` enables padded
+    batching. ``config.dtype="bfloat16"`` runs activations AND params in
+    bf16 (norm statistics stay f32; the explainer's phi accumulator is f32
+    independently) — the full mixed-precision speed path."""
     cfg = config
+    compute_dtype = jnp.dtype(cfg.dtype)
+    if compute_dtype != jnp.float32:
+        params = jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
+        input_values = input_values.astype(compute_dtype)
     with jax.default_matmul_precision(cfg.matmul_precision):
         feats = feature_encoder(params, cfg, input_values, gelu)  # [B, T, 512]
         fp = params["feature_projection"]
@@ -332,4 +349,4 @@ def wav2vec2_logits(
             frame_mask = (jnp.arange(t)[None, :] < fl[:, None]).astype(h.dtype)
 
         h = encoder(params, cfg, h, frame_mask, remat=remat, gelu=gelu)
-        return _linear(params["lm_head"], h)
+        return _linear(params["lm_head"], h).astype(jnp.float32)

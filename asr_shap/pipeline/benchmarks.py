@@ -64,9 +64,12 @@ def run_length_sweep(
             t0 = time.perf_counter()
             sync(run(params, x, jax.random.key(2)))
             compile_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            sync(run(params, x, jax.random.key(3)))
-            wall = time.perf_counter() - t0
+            # min over repeats: wall-clock through the remote relay is noisy
+            wall = float("inf")
+            for r in range(3):
+                t0 = time.perf_counter()
+                sync(run(params, x, jax.random.key(3 + r)))
+                wall = min(wall, time.perf_counter() - t0)
             chunk = max(1, draw_chunk)
             total_draws = -(-nsamples // chunk) * chunk
             results.append(

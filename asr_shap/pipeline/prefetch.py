@@ -1,0 +1,77 @@
+"""Host-side async prefetch — the TPU-native equivalent of the reference's
+``DataLoader(..., num_workers=4)`` (train_asr.py:390-402, the repo's only
+host concurrency; SURVEY.md section 2.3 "host parallelism").
+
+Two small primitives:
+
+  * :func:`background_iterator` — runs a (possibly expensive) host iterable
+    in a worker thread with a bounded queue, so augmentation/mixing/np IO
+    overlaps device compute;
+  * :func:`prefetch_to_device` — additionally moves each batch onto the
+    device (optionally with a mesh sharding) ``depth`` steps ahead, so the
+    device never waits on a host->HBM transfer.
+
+Threads (not processes) are right here: the producers are numpy/jax host
+ops that release the GIL during transfers, and batches stay in shared
+memory.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterable, Iterator, Optional
+
+_SENTINEL = object()
+
+
+def background_iterator(iterable: Iterable, maxsize: int = 2) -> Iterator:
+    """Iterate ``iterable`` on a daemon thread, yielding through a bounded
+    queue. Exceptions in the producer re-raise at the consumer."""
+    q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # propagate to consumer
+            q.put(("__error__", e))
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+            raise item[1]
+        yield item
+
+
+def prefetch_to_device(
+    batches: Iterable[Dict[str, Any]],
+    depth: int = 2,
+    mesh=None,
+    put_fn: Optional[Callable] = None,
+) -> Iterator[Dict[str, Any]]:
+    """Yield device-resident batches ``depth`` steps ahead of consumption.
+
+    ``put_fn(batch) -> batch`` overrides placement; default is
+    ``jax.device_put`` per leaf (or :func:`asr_shap.pipeline.train
+    .shard_batch` when a mesh is given).
+    """
+    import jax
+
+    if put_fn is None:
+        if mesh is not None:
+            from asr_shap.pipeline.train import shard_batch
+
+            put_fn = lambda b: shard_batch(b, mesh)
+        else:
+            put_fn = lambda b: {k: jax.device_put(v) for k, v in b.items()}
+
+    it = background_iterator(map(put_fn, batches), maxsize=depth)
+    return it

@@ -148,3 +148,49 @@ def test_train_loop_with_checkpointing(tiny_setup, tmp_path):
     for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(rp)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert ck.best_step is not None
+
+
+def test_background_iterator_order_and_errors():
+    from asr_shap.pipeline.prefetch import background_iterator
+
+    assert list(background_iterator(range(10), maxsize=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = background_iterator(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="producer failed"):
+        next(it)
+
+
+def test_prefetch_to_device_yields_device_batches(rng):
+    import jax.numpy as jnp
+
+    from asr_shap.pipeline.prefetch import prefetch_to_device
+
+    batches = [{"audio": rng.standard_normal((2, 100)).astype(np.float32),
+                "audio_lengths": np.array([100, 80], np.int32)}
+               for _ in range(4)]
+    out = list(prefetch_to_device(iter(batches), depth=2))
+    assert len(out) == 4
+    for src, got in zip(batches, out):
+        assert isinstance(got["audio"], jnp.ndarray)
+        np.testing.assert_array_equal(np.asarray(got["audio"]), src["audio"])
+
+
+def test_prefetch_to_device_with_mesh(rng):
+    from jax.sharding import Mesh
+
+    from asr_shap.pipeline.prefetch import prefetch_to_device
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    n = len(jax.devices())
+    batches = [{"audio": rng.standard_normal((n, 50)).astype(np.float32),
+                "audio_lengths": np.full((n,), 50, np.int32)}]
+    (got,) = prefetch_to_device(iter(batches), mesh=mesh)
+    assert not got["audio"].sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(got["audio"]), batches[0]["audio"])

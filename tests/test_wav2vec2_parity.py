@@ -175,3 +175,35 @@ def test_converter_golden_fixture(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(ours.mean(), fix["logits_mean"], atol=1e-5)
     np.testing.assert_allclose(ours.std(), fix["logits_std"], rtol=1e-4)
+
+
+def test_bf16_mixed_precision_path(rng):
+    """config.dtype="bfloat16" runs params+activations in bf16 with f32 norm
+    statistics and f32 logits out; values stay within bf16 tolerance of the
+    f32 path and gradients (the explainer's food) stay finite."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from asr_shap.models.wav2vec2 import init_wav2vec2_params
+
+    cfg32 = Wav2Vec2Config(
+        vocab_size=32, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128,
+        conv_dim=(32, 32), conv_stride=(5, 2), conv_kernel=(10, 3),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        feat_proj_dim=32,
+    )
+    cfg16 = dataclasses.replace(cfg32, dtype="bfloat16", matmul_precision="default")
+    params = init_wav2vec2_params(jax.random.key(0), cfg32)  # f32 master copy
+    x = jnp.asarray(rng.standard_normal((1, 1600)).astype(np.float32))
+
+    lg32 = wav2vec2_logits(params, cfg32, x)
+    lg16 = wav2vec2_logits(params, cfg16, x)
+    assert lg16.dtype == jnp.float32  # cast back at the boundary
+    scale = np.abs(np.asarray(lg32)).mean()
+    assert np.abs(np.asarray(lg16) - np.asarray(lg32)).mean() < 0.05 * scale
+
+    g = jax.grad(lambda v: jnp.sum(wav2vec2_logits(params, cfg16, v) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
