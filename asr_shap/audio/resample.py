@@ -83,6 +83,10 @@ def resample(
     Output length is ``ceil(n * new_freq / orig_freq)`` (the torchaudio /
     resample_poly length contract). Identity rates return ``x`` unchanged.
     """
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        # integer PCM would truncate the FIR kernel to zeros — resample in
+        # float32 (the torchaudio/librosa contract is float audio)
+        x = x.astype(jnp.float32)
     if int(orig_freq) == int(new_freq):
         return x
     kernel_np, width, up, down = _kernel_bank(

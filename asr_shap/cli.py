@@ -94,6 +94,7 @@ def cmd_run_shap(args):
                                   draw_chunk=args.draw_chunk,
                                   method=args.method),
         testset=tcfg, data_dir=args.data_dir, seed=args.seed,
+        sample_batch=args.sample_batch,
     )
     test_set = create_test_set(tcfg)
     mesh = None
@@ -206,6 +207,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-length", type=int, default=0)
     p.add_argument("--nsamples", type=int, default=200)
     p.add_argument("--draw-chunk", type=int, default=1)
+    p.add_argument("--sample-batch", type=int, default=4,
+                   help="samples explained per jitted call (1 = serial)")
     p.add_argument("--method", choices=["grad", "deep"], default="grad",
                    help="grad = GradientExplainer (expected gradients); "
                         "deep = DeepExplainer (DeepSHAP rescale rules)")

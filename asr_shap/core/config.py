@@ -272,3 +272,8 @@ class PipelineConfig:
     mesh: MeshConfig = MeshConfig()
     data_dir: str = "data"
     seed: int = 0
+    # Samples explained per jitted call (fixed-size groups within an
+    # exact-length bucket; one executable per audio length). 1 = serial.
+    # On hosts whose compile service rejects large programs (see
+    # artifacts/bench_sweep_tpu.jsonl), set 1 for full-size models.
+    sample_batch: int = 4

@@ -266,13 +266,13 @@ def _conv_module(p, cfg: ConformerConfig, x, rules: Rules, eps, frame_mask=None)
     if cfg.conv_norm == "batch":
         # inference-mode batchnorm: affine with running stats (linear)
         h = (h - bn["mean"]) * lax.rsqrt(bn["var"] + eps) * bn["scale"] + bn["bias"]
-    else:  # group norm over (T, C/G), torch semantics
+    else:  # group norm over (T, C/G), torch semantics; f32 statistics
         g = cfg.num_conv_groups
-        hg = h.reshape(*lead, t, g, d // g)
+        hg = h.astype(jnp.float32).reshape(*lead, t, g, d // g)
         mean = jnp.mean(hg, axis=(-3, -1), keepdims=True)
         var = jnp.var(hg, axis=(-3, -1), keepdims=True)
         hg = (hg - mean) * lax.rsqrt(var + eps)
-        h = hg.reshape(*lead, t, d) * bn["scale"] + bn["bias"]
+        h = (hg.reshape(*lead, t, d) * bn["scale"] + bn["bias"]).astype(h.dtype)
 
     h = rules.silu(h)
     return _lin(p["pointwise2"], h)

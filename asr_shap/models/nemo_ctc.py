@@ -38,7 +38,6 @@ from asr_shap.core.config import ConformerConfig
 from asr_shap.models.conformer import (
     PLAIN_RULES,
     Rules,
-    conformer_encode,
     init_conformer_params,
 )
 
@@ -85,14 +84,11 @@ def nemo_ctc_logits(
     remat: bool = False,
 ) -> jnp.ndarray:
     """Log-mel features [..., T, F] -> BPE CTC logits
-    [..., subsampled_length(T), vocab+1] (blank last)."""
-    from asr_shap.models.conformer import _lin
+    [..., subsampled_length(T), vocab+1] (blank last). Delegates to
+    conformer_logits, which owns the mixed-precision head handling."""
+    from asr_shap.models.conformer import conformer_logits
 
-    h = conformer_encode(
-        params, cfg, features, lengths=lengths, rules=rules, remat=remat
-    )
-    with jax.default_matmul_precision("highest"):
-        return _lin(params["head"], h)
+    return conformer_logits(params, cfg, features, lengths, rules, remat)
 
 
 # ----------------------------------------------------------------- BPE vocab

@@ -184,13 +184,17 @@ def _attention(layer: Params, cfg: Wav2Vec2ConformerConfig, x, pe, bias):
     return _linear(p["out"], o)
 
 
-def _conv_module(p: Params, cfg: Wav2Vec2ConformerConfig, x, rules: Rules, frame_mask):
+def _conv_module(p: Params, cfg: Wav2Vec2ConformerConfig, x, rules: Rules):
+    # NOTE: no pad re-masking here — HF's conv module lets padded positions
+    # (which evolve through the residual stream) leak into boundary frames
+    # via the depthwise conv; parity with Wav2Vec2ConformerForCTC requires
+    # reproducing that (tests/test_w2v2_conformer_parity.py padded-batch
+    # test). The NeMo-style conformer (models/conformer.py) masks, as NeMo
+    # does.
     eps = cfg.layer_norm_eps
     h = _layer_norm(p["norm"], x, eps)
     h = _linear(p["pw1"], h)       # [B, T, 2d], no bias
     h = rules.glu(h, -1)           # [B, T, d]
-    if frame_mask is not None:
-        h = h * frame_mask[..., None]
 
     ksz = cfg.conv_depthwise_kernel_size
     pad = (ksz - 1) // 2
@@ -209,13 +213,13 @@ def _conv_module(p: Params, cfg: Wav2Vec2ConformerConfig, x, rules: Rules, frame
     return _linear(p["pw2"], h)
 
 
-def _conformer_block(layer, cfg: Wav2Vec2ConformerConfig, x, pe, bias, frame_mask,
+def _conformer_block(layer, cfg: Wav2Vec2ConformerConfig, x, pe, bias,
                      rules: Rules, gelu):
     eps = cfg.layer_norm_eps
     act = rules.silu if cfg.hidden_act in ("swish", "silu") else gelu
     x = x + 0.5 * _ffn(layer["ffn1"], x, act, eps)
     x = x + _attention(layer["attn"], cfg, x, pe, bias)
-    x = x + _conv_module(layer["conv"], cfg, x, rules, frame_mask)
+    x = x + _conv_module(layer["conv"], cfg, x, rules)
     x = x + 0.5 * _ffn(layer["ffn2"], x, act, eps)
     return _layer_norm(layer["final_norm"], x, eps)
 
@@ -269,9 +273,7 @@ def w2v2_conformer_logits(
             pe = rel_pos_embedding(h.shape[1], cfg.hidden_size).astype(h.dtype)
 
         def body(carry, layer):
-            out = _conformer_block(
-                layer, cfg, carry, pe, bias, frame_mask, rules, gelu
-            )
+            out = _conformer_block(layer, cfg, carry, pe, bias, rules, gelu)
             return out, None
 
         if remat:

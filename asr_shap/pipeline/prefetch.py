@@ -27,28 +27,50 @@ _SENTINEL = object()
 
 def background_iterator(iterable: Iterable, maxsize: int = 2) -> Iterator:
     """Iterate ``iterable`` on a daemon thread, yielding through a bounded
-    queue. Exceptions in the producer re-raise at the consumer."""
+    queue. Exceptions in the producer re-raise at the consumer. Closing or
+    abandoning the returned generator (break / GC / exception in the
+    consumer loop) signals the producer to stop, so no thread stays blocked
+    on a full queue pinning device batches."""
     q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # propagate to consumer
-            q.put(("__error__", e))
-        finally:
-            q.put(_SENTINEL)
+            _put(("__error__", e))
+            return
+        _put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
 
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+                raise item[1]
+            yield item
+    finally:
+        stop.set()  # GeneratorExit / consumer exception: release the producer
+        while not q.empty():  # drop buffered refs so HBM frees promptly
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def prefetch_to_device(

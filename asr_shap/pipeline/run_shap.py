@@ -8,12 +8,16 @@ The reference explains test samples strictly serially
 (SURVEY.md section 2.3 "the perturbation loop is the parallelism
 opportunity"): samples are grouped into exact-length buckets — the clean
 clip and its SNR variants always share a length, so buckets of >= 4 come
-for free — and the per-sample computation is vmapped over the bucket.
-Exact-length bucketing (no padding) keeps per-sample numerics bitwise
-identical to the serial path for every model variant, including the
-group-norm wav2vec2-base whose statistics couple across time. Under a mesh
-the bucket's sample axis is sharded over the devices with shard_map, each
-device explaining its share end-to-end (draws stay on-device).
+for free — and the per-sample computation is vmapped over fixed-size groups
+of ``PipelineConfig.sample_batch`` samples (fixed so one executable per
+audio length serves every group, including on resume). Exact-length
+bucketing (no padding) keeps per-sample semantics identical to the serial
+path for every model variant — including the group-norm wav2vec2-base whose
+statistics couple across (padded) time — with only XLA fusion-order float
+noise across batch sizes. Under a mesh the group's sample axis
+shards over the devices when sample_batch covers the axis; otherwise the
+single-sample DRAW axis shards instead (expected_gradients_sharded), so a
+lone pending sample still gets the full multi-chip speedup.
 
 Per sample: normalize (D2) -> confidence + greedy transcript (one forward)
 -> expected-gradients attribution matrix -> persist the
@@ -41,7 +45,10 @@ from asr_shap.core.config import PipelineConfig, WAV2VEC2_VOCAB
 from asr_shap.core.prng import fold
 from asr_shap.core.store import AttributionStore, key_for
 from asr_shap.explain.baselines import zeros_noise_background
-from asr_shap.explain.expected_gradients import expected_gradients
+from asr_shap.explain.expected_gradients import (
+    expected_gradients,
+    expected_gradients_sharded,
+)
 from asr_shap.metrics.confidence import mean_max_softmax_confidence
 from asr_shap.models.heads import aggregation_head
 from asr_shap.models.wav2vec2 import wav2vec2_logits
@@ -51,12 +58,13 @@ from asr_shap.utils.debug import check_finite
 logger = logging.getLogger(__name__)
 
 
-def _sample_step(cfg: PipelineConfig):
+def _sample_step(cfg: PipelineConfig, mesh=None):
     """Single-sample computation (params, x [N], key) -> (phi, conf, ids,
     keep). ``params`` is an ARGUMENT (not a closure) so the weights stay
     device-resident data instead of being baked into the HLO as constants —
     at 94M params a closure bloats the program past what compile services
-    accept."""
+    accept. With ``mesh`` the expected-gradients draw axis shards over the
+    mesh (the single-sample multi-chip speedup path)."""
     mc, ec = cfg.model, cfg.explainer
 
     def step(params, x, key):
@@ -77,6 +85,8 @@ def _sample_step(cfg: PipelineConfig):
 
             f_dual = wav2vec2_dual_fn(params, mc, ec)
             expl = deep_shap_values(f_dual, x, bg, ec.output_chunk)
+        elif mesh is not None:
+            expl = expected_gradients_sharded(f, x, bg, fold(key, 1), mesh, ec)
         else:
             expl = expected_gradients(f, x, bg, fold(key, 1), ec)
         return expl.values, conf, ids[0], keep[0]
@@ -84,11 +94,33 @@ def _sample_step(cfg: PipelineConfig):
     return step
 
 
-def _build_bucket_step(cfg: PipelineConfig, mesh=None):
-    """jitted (params, xs [S, N], keys [S]) -> per-sample results, vmapped
-    over the bucket's sample axis; with a mesh the sample axis is sharded
-    over the first mesh axis (S must be a multiple of the axis size — the
-    caller pads)."""
+def _group_size(cfg: PipelineConfig, mesh) -> int:
+    """Fixed sample-group size: every group compiles to the SAME executable
+    per audio length (variable bucket sizes would recompile on resume).
+    Policy: no mesh -> cfg sample_batch; mesh -> sample_batch rounded to a
+    multiple of the axis size when possible, else 1 (draw-sharded)."""
+    g = max(1, cfg.sample_batch)
+    if mesh is None:
+        return g
+    ndev = int(np.prod(mesh.devices.shape[:1]))
+    if g >= ndev:
+        return (g // ndev) * ndev
+    return 1
+
+
+def _build_group_step(cfg: PipelineConfig, mesh, g: int):
+    """jitted (params, xs [g, N], keys [g]) -> per-sample results.
+
+    * g == 1, mesh given  -> the DRAW axis shards over the mesh (the
+      single-sample multi-chip speedup, expected_gradients_sharded);
+    * g > 1,  mesh given  -> the SAMPLE axis shards over the mesh
+      (throughput mode; g is a multiple of the axis size);
+    * no mesh             -> plain vmap over the g samples.
+    """
+    if mesh is not None and g == 1:
+        step = _sample_step(cfg, mesh)
+        return jax.jit(lambda p, xs, ks: jax.tree.map(
+            lambda a: a[None], step(p, xs[0], ks[0])))
     step = _sample_step(cfg)
     if mesh is None:
         return jax.jit(jax.vmap(step, in_axes=(None, 0, 0)))
@@ -123,7 +155,8 @@ def run_shap_pipeline(
     samples of that length run as one batched (or mesh-sharded) call.
     """
     store = store or AttributionStore(cfg.data_dir)
-    step = _build_bucket_step(cfg, mesh)
+    g = _group_size(cfg, mesh)
+    step = _build_group_step(cfg, mesh, g)
     key = jax.random.key(cfg.seed)
 
     # resume filter, then exact-length buckets
@@ -139,54 +172,56 @@ def run_shap_pipeline(
     for i in pending:
         buckets.setdefault(len(test_set[i]["audio"]), []).append(i)
 
-    ndev = 1 if mesh is None else int(np.prod(mesh.devices.shape[:1]))
     results = []
     for length in sorted(buckets):
-        idxs = buckets[length]
-        xs = jnp.stack(
-            [zero_mean_unit_var(jnp.asarray(test_set[i]["audio"])) for i in idxs]
-        )
-        keys = jnp.stack([fold(key, i) for i in idxs])
-
-        pad = (-len(idxs)) % ndev
-        if pad:  # mesh path: fill with repeats, dropped below
-            xs = jnp.concatenate([xs, jnp.repeat(xs[:1], pad, axis=0)])
-            keys = jnp.concatenate([keys, jnp.repeat(keys[:1], pad, axis=0)])
-
-        t0 = time.perf_counter()
-        phis, confs, ids, keeps = step(params, xs, keys)
-        phis = np.asarray(phis)  # device->host once per bucket
-        wall = time.perf_counter() - t0
-        confs, ids, keeps = np.asarray(confs), np.asarray(ids), np.asarray(keeps)
-
-        for j, i in enumerate(idxs):
-            sample = test_set[i]
-            skey = key_for(i, sample["type"], sample["snr"])
-            phi = phis[j]
-            check_finite(phi, f"shap_values[sample {i}]")
-            transcription = ctc_ids_to_text(ids[j], keeps[j], WAV2VEC2_VOCAB)
-            store.save(skey, sample["audio"], sample["noise"], phi, sample["text"])
-            results.append(
-                {
-                    "index": i,
-                    "key": skey,
-                    "shap_values": phi,
-                    "transcription": transcription,
-                    "confidence": float(confs[j]),
-                    "wall_s": wall / len(idxs),
-                    "snr": sample["snr"],
-                    "type": sample["type"],
-                }
+        bucket = buckets[length]
+        for start in range(0, len(bucket), g):
+            idxs = bucket[start : start + g]
+            xs = jnp.stack(
+                [zero_mean_unit_var(jnp.asarray(test_set[i]["audio"])) for i in idxs]
             )
+            keys = jnp.stack([fold(key, i) for i in idxs])
+
+            pad = g - len(idxs)
+            if pad:  # last group: fixed executable shape; extras dropped below
+                xs = jnp.concatenate([xs, jnp.repeat(xs[:1], pad, axis=0)])
+                keys = jnp.concatenate([keys, jnp.repeat(keys[:1], pad, axis=0)])
+
+            t0 = time.perf_counter()
+            phis, confs, ids, keeps = step(params, xs, keys)
+            phis = np.asarray(phis)  # device->host once per group
+            wall = time.perf_counter() - t0
+            confs, ids, keeps = np.asarray(confs), np.asarray(ids), np.asarray(keeps)
+
+            for j, i in enumerate(idxs):
+                sample = test_set[i]
+                skey = key_for(i, sample["type"], sample["snr"])
+                phi = phis[j]
+                check_finite(phi, f"shap_values[sample {i}]")
+                transcription = ctc_ids_to_text(ids[j], keeps[j], WAV2VEC2_VOCAB)
+                store.save(skey, sample["audio"], sample["noise"], phi,
+                           sample["text"])
+                results.append(
+                    {
+                        "index": i,
+                        "key": skey,
+                        "shap_values": phi,
+                        "transcription": transcription,
+                        "confidence": float(confs[j]),
+                        "wall_s": wall / len(idxs),
+                        "snr": sample["snr"],
+                        "type": sample["type"],
+                    }
+                )
+                logger.info(
+                    "sample %d (%s, snr=%s): %.2fs/sample, conf=%.3f, '%s'",
+                    i, sample["type"], sample["snr"], wall / len(idxs),
+                    float(confs[j]), transcription[:50],
+                )
             logger.info(
-                "sample %d (%s, snr=%s): %.2fs/sample, conf=%.3f, '%s'",
-                i, sample["type"], sample["snr"], wall / len(idxs),
-                float(confs[j]), transcription[:50],
+                "group len=%d g=%d: %d samples in %.2fs (%.2fs/sample)",
+                length, g, len(idxs), wall, wall / len(idxs),
             )
-        logger.info(
-            "bucket len=%d: %d samples in %.2fs (%.2fs/sample)",
-            length, len(idxs), wall, wall / len(idxs),
-        )
     store.write_manifest()
     results.sort(key=lambda r: r["index"])  # test-set order, as the serial path
     return results

@@ -179,11 +179,16 @@ def main():
     ours, t_frames, extras = measure_ours()
 
     baseline = None
-    if os.environ.get("BENCH_SKIP_TORCH") and os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as fh:
-            cached = json.load(fh)
-        if cached.get("audio_len") == AUDIO_LEN:  # baseline is length-specific
-            baseline = cached.get("passes_per_sec")
+    if os.environ.get("BENCH_SKIP_TORCH"):
+        if os.path.exists(BASELINE_CACHE):
+            with open(BASELINE_CACHE) as fh:
+                cached = json.load(fh)
+            if cached.get("audio_len") == AUDIO_LEN:  # length-specific
+                baseline = cached.get("passes_per_sec")
+        if baseline is None:
+            # skip was requested: report vs_baseline=null rather than
+            # surprising the caller with a multi-minute torch run
+            baseline = float("nan")
     if baseline is None:
         try:
             baseline = measure_torch_baseline(t_frames)

@@ -105,3 +105,58 @@ def test_confidence_range_and_onehot(rng):
     # near-deterministic logits -> confidence ~ 1
     sharp = jnp.zeros((1, 10, 32)).at[:, :, 3].set(50.0)
     assert float(mean_max_softmax_confidence(sharp)[0]) > 0.999
+
+
+def test_itm_oracle_end_to_end():
+    """The controlled-SNR oracle (SURVEY.md section 4): for a model that
+    demonstrably attends to signal energy, expected-gradients attributions
+    on a speech+noise mixture must concentrate on speech-dominated segments,
+    i.e. eta_raw must be high. This exercises the full chain — test-set
+    construction, explainer, attribution layout, ITM metric — with an
+    analytically energy-sensitive 'model' (windowed energy head), not a
+    random-init network whose saliency carries no guarantee."""
+    import jax
+    import jax.numpy as jnp
+
+    from asr_shap.core.config import ExplainerConfig, MetricConfig
+    from asr_shap.explain.baselines import zeros_noise_background
+    from asr_shap.explain.expected_gradients import expected_gradients
+
+    sr = 16_000
+    n = 8_000
+    t = np.arange(n) / sr
+    # speech-like: loud tone bursts separated by silence
+    env = (np.sin(2 * np.pi * 2.0 * t) > 0).astype(np.float32)
+    clean = (env * np.sin(2 * np.pi * 220 * t)).astype(np.float32) * 0.5
+    rng_ = np.random.default_rng(0)
+    noise = rng_.standard_normal(n).astype(np.float32) * 0.02  # quiet floor
+    mixed = clean + noise
+
+    frames = 25
+    win = n // frames
+
+    def f(x):
+        # per-frame energy head: d f_j / d x_n = 2 x_n on frame j's support
+        return jnp.sum(x[: frames * win].reshape(frames, win) ** 2, axis=1)
+
+    ecfg = ExplainerConfig(nsamples=16, draw_chunk=4, num_background=3,
+                           remat=False)
+    bg = zeros_noise_background(jax.random.key(1), n, 3, 0.001)
+    expl = expected_gradients(f, jnp.asarray(mixed), bg, jax.random.key(2), ecfg)
+    phi = np.asarray(expl.values)  # [N, frames]
+    assert phi.shape == (n, frames)
+
+    score = eta_raw(jnp.asarray(clean), jnp.asarray(noise), jnp.asarray(phi),
+                    MetricConfig(segment_ms=20.0, percentile=80.0,
+                                 itm_variant="strict"))
+    # energy attributions land where the tone is -> top segments are
+    # speech-dominated
+    assert float(score) > 0.9
+
+    # sanity: explaining the *noise-only* signal gives no such preference
+    expl0 = expected_gradients(f, jnp.asarray(noise), bg, jax.random.key(2), ecfg)
+    score0 = eta_raw(jnp.asarray(clean) * 0 + 1e-6, jnp.asarray(noise),
+                     jnp.asarray(np.asarray(expl0.values)),
+                     MetricConfig(segment_ms=20.0, percentile=80.0,
+                                  itm_variant="strict"))
+    assert float(score0) < float(score)

@@ -101,8 +101,8 @@ def test_run_pipeline_and_sweep(tiny_testset, tiny_config, tmp_path):
 
 def test_bucketed_run_matches_serial_semantics(tiny_testset, tiny_config, tmp_path):
     """The batched (length-bucketed, vmapped) pipeline must reproduce the
-    serial per-sample computation exactly: same fold-key derivation, same
-    expected-gradients result."""
+    serial per-sample computation: same fold-key derivation and draws, equal
+    up to XLA fusion-order float noise."""
     import jax.numpy as jnp
 
     from asr_shap.audio.normalize import zero_mean_unit_var
@@ -127,35 +127,46 @@ def test_bucketed_run_matches_serial_semantics(tiny_testset, tiny_config, tmp_pa
     bg = zeros_noise_background(fold(skey, 0), x.shape[0], 2,
                                 ecfg.background_sigma)
     expl = expected_gradients(f, x, bg, fold(skey, 1), ecfg)
+    # same draws/keys; tolerance covers XLA fusion differences across batch
+    # sizes (reduction order shifts at the 1e-6 level)
     np.testing.assert_allclose(
-        results[i]["shap_values"], np.asarray(expl.values), rtol=1e-5, atol=1e-6
+        results[i]["shap_values"], np.asarray(expl.values), rtol=1e-4, atol=1e-5
     )
 
 
-def test_sample_sharded_run_matches_unmeshed(tiny_testset, tiny_config, tmp_path):
-    """Under a mesh the bucket's sample axis shards over the devices (with
-    padding to the axis size); results must match the mesh-free run."""
+def test_mesh_runs_match_unmeshed(tiny_testset, tiny_config, tmp_path):
+    """Both mesh modes must match the mesh-free run: sample_batch=1 shards
+    the DRAW axis (nsamples chosen as a multiple of draw_chunk*ndev so the
+    effective draw count matches the unmeshed run); sample_batch=ndev shards
+    the SAMPLE axis (bucket padded to the axis size, pads dropped)."""
     from jax.sharding import Mesh
 
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")
     cfg, ts = tiny_testset
     params = init_wav2vec2_params(jax.random.key(0), tiny_config)
-    ecfg = ExplainerConfig(nsamples=2, draw_chunk=2, num_background=2)
-    pcfg = PipelineConfig(model=tiny_config, explainer=ecfg, testset=cfg)
-
+    ndev = len(jax.devices())
+    ecfg = ExplainerConfig(nsamples=2 * ndev, draw_chunk=2, num_background=2)
     mesh = Mesh(np.array(jax.devices()), ("data",))
-    r_mesh = run_shap_pipeline(
-        params, dataclasses_replace(pcfg, data_dir=str(tmp_path / "m")),
-        ts, AttributionStore(str(tmp_path / "m")), mesh=mesh)
-    r_flat = run_shap_pipeline(
-        params, dataclasses_replace(pcfg, data_dir=str(tmp_path / "f")),
-        ts, AttributionStore(str(tmp_path / "f")))
-    for a, b in zip(r_mesh, r_flat):
-        assert a["key"] == b["key"]
-        np.testing.assert_allclose(a["shap_values"], b["shap_values"],
-                                   rtol=1e-5, atol=1e-6)
-        assert a["transcription"] == b["transcription"]
+
+    def run(sub, sample_batch, use_mesh):
+        pcfg = PipelineConfig(model=tiny_config, explainer=ecfg, testset=cfg,
+                              data_dir=str(tmp_path / sub),
+                              sample_batch=sample_batch)
+        return run_shap_pipeline(params, pcfg, ts,
+                                 AttributionStore(str(tmp_path / sub)),
+                                 mesh=mesh if use_mesh else None)
+
+    r_flat = run("f", 1, False)
+    r_draw = run("d", 1, True)      # draw-sharded (g=1)
+    r_samp = run("s", ndev, True)   # sample-sharded (g=ndev)
+    for a, b, c in zip(r_draw, r_samp, r_flat):
+        assert a["key"] == b["key"] == c["key"]
+        np.testing.assert_allclose(a["shap_values"], c["shap_values"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(b["shap_values"], c["shap_values"],
+                                   rtol=1e-4, atol=1e-5)
+        assert a["transcription"] == b["transcription"] == c["transcription"]
 
 
 def dataclasses_replace(cfg, **kw):
@@ -185,3 +196,26 @@ def test_run_pipeline_deepshap_method(tiny_testset, tiny_config, tmp_path):
     r2 = run_shap_pipeline(params, pcfg, ts[:1],
                            AttributionStore(str(tmp_path)), resume=False)
     np.testing.assert_array_equal(phi, r2[0]["shap_values"])
+
+
+def test_group_size_fixed_executables(tiny_testset, tiny_config, tmp_path):
+    """sample_batch=2 over a 2-sample set: results identical to serial
+    (sample_batch=1) and to the default batch — grouping never changes
+    per-sample numerics or key derivation."""
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    ecfg = ExplainerConfig(nsamples=2, draw_chunk=2, num_background=2)
+
+    outs = []
+    for g, sub in ((1, "a"), (2, "b"), (4, "c")):
+        pcfg = PipelineConfig(model=tiny_config, explainer=ecfg, testset=cfg,
+                              data_dir=str(tmp_path / sub), sample_batch=g)
+        outs.append(run_shap_pipeline(params, pcfg, ts,
+                                      AttributionStore(str(tmp_path / sub))))
+    for r1, r2, r4 in zip(*outs):
+        assert r1["key"] == r2["key"] == r4["key"]
+        np.testing.assert_allclose(r1["shap_values"], r2["shap_values"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(r1["shap_values"], r4["shap_values"],
+                                   rtol=1e-5, atol=1e-6)
+        assert r1["transcription"] == r2["transcription"] == r4["transcription"]

@@ -108,3 +108,12 @@ def test_testset_resamples_non_16k_source(rng):
     assert len(ts) == 2  # clean + one SNR
     assert len(ts[0]["audio"]) == 8000  # 8k -> 16k doubled
     assert ts[0]["text"] == "HELLO"
+
+
+def test_resample_integer_pcm_input(rng):
+    """Integer PCM must resample in float (a kernel cast to int16 would
+    silently truncate to zeros)."""
+    x16 = (np.sin(2 * np.pi * 440 * np.arange(800) / 8000) * 20000).astype(np.int16)
+    y = np.asarray(resample(jnp.asarray(x16), 8000, 16000))
+    assert y.dtype == np.float32
+    assert np.abs(y).max() > 1000  # signal survived

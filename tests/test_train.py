@@ -194,3 +194,29 @@ def test_prefetch_to_device_with_mesh(rng):
     (got,) = prefetch_to_device(iter(batches), mesh=mesh)
     assert not got["audio"].sharding.is_fully_replicated
     np.testing.assert_array_equal(np.asarray(got["audio"]), batches[0]["audio"])
+
+
+def test_background_iterator_releases_producer_on_break():
+    """Abandoning the consumer must unblock and stop the producer thread
+    (no leaked thread pinning queued batches)."""
+    import threading
+    import time as _time
+
+    from asr_shap.pipeline.prefetch import background_iterator
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = background_iterator(gen(), maxsize=2)
+    assert next(it) == 0
+    it.close()  # consumer walks away
+    _time.sleep(0.5)
+    n_after_close = len(produced)
+    _time.sleep(0.3)
+    # producer stopped: no further production after the close settled
+    assert len(produced) == n_after_close
+    assert n_after_close < 1000

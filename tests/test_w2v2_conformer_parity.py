@@ -169,3 +169,27 @@ def test_dual_mode_deepshap(relpos_pair, rng):
     res = deep_shap_values(f_dual, x, r[None, :])
     assert res.values.shape == (n, 1)
     assert np.isfinite(np.asarray(res.values)).all()
+
+
+def test_relpos_padded_batch_matches_torch_mask(relpos_pair, rng):
+    """Padded batching: our lengths-based masking must match HF's
+    attention_mask semantics over the valid frames (layer-norm feature
+    extractor, so padding cannot leak through norm statistics)."""
+    cfg, model, params = relpos_pair
+    a = rng.standard_normal(1600).astype(np.float32)
+    b = rng.standard_normal(1000).astype(np.float32)
+    batch = np.zeros((2, 1600), np.float32)
+    batch[0], batch[1, :1000] = a, b
+    mask = np.zeros((2, 1600), np.int64)
+    mask[0], mask[1, :1000] = 1, 1
+
+    with torch.no_grad():
+        ref = model(torch.from_numpy(batch),
+                    attention_mask=torch.from_numpy(mask)).logits.numpy()
+    ours = np.asarray(
+        w2v2_conformer_logits(params, cfg, jnp.asarray(batch),
+                              lengths=jnp.asarray([1600, 1000]))
+    )
+    t_b = cfg.frames_for_samples(1000)
+    np.testing.assert_allclose(ours[0], ref[0], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(ours[1, :t_b], ref[1, :t_b], rtol=1e-3, atol=1e-4)
