@@ -28,15 +28,23 @@ def eta_wer_sweep(
     model_cfg: Wav2Vec2Config,
     store: AttributionStore,
     metric_cfg: MetricConfig = MetricConfig(),
+    logits_fn=None,
+    vocab=WAV2VEC2_VOCAB,
 ) -> List[Dict]:
     """For every stored (audio, noise, shap, text) quadruple: transcribe the
     mixed audio, compute WER against the reference text and eta_raw against
     the ITM; returns one record per sample (the scatter data of
-    nraw_vs_wer.py:160-182)."""
+    nraw_vs_wer.py:160-182).
+
+    ``logits_fn(params, cfg, x[1, N]) -> [1, T, V]`` swaps the decoding
+    model (e.g. ``w2v2_conformer_logits``); default is the reference's
+    Wav2Vec2. ``vocab`` swaps the id->symbol table alongside it.
+    """
+    logits_fn = logits_fn or wav2vec2_logits
 
     @jax.jit
     def decode_step(x):
-        logits = wav2vec2_logits(params, model_cfg, x[None, :])
+        logits = logits_fn(params, model_cfg, x[None, :])
         ids, keep = ctc_greedy_decode(logits)
         return ids[0], keep[0]
 
@@ -52,7 +60,7 @@ def eta_wer_sweep(
         phi = np.asarray(sample["shap_values"], np.float32)
 
         ids, keep = decode_step(zero_mean_unit_var(jnp.asarray(mixed)))
-        hyp = ctc_ids_to_text(np.asarray(ids), np.asarray(keep), WAV2VEC2_VOCAB)
+        hyp = ctc_ids_to_text(np.asarray(ids), np.asarray(keep), vocab)
         ref = sample["text"]
         sample_wer = wer(ref, hyp) if ref.strip() else float("nan")
         eta = float(eta_step(jnp.asarray(clean), jnp.asarray(noise), jnp.asarray(phi)))

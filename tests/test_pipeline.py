@@ -219,3 +219,29 @@ def test_group_size_fixed_executables(tiny_testset, tiny_config, tmp_path):
         np.testing.assert_allclose(r1["shap_values"], r4["shap_values"],
                                    rtol=1e-5, atol=1e-6)
         assert r1["transcription"] == r2["transcription"] == r4["transcription"]
+
+
+def test_sweep_with_custom_logits_fn(tiny_testset, tiny_config, tmp_path):
+    """eta_wer_sweep accepts a different decoding model (e.g. a conformer)
+    via logits_fn — the sweep machinery is model-agnostic."""
+    from asr_shap.models.wav2vec2 import wav2vec2_logits
+    from asr_shap.pipeline.sweep import eta_wer_sweep
+
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    pcfg = PipelineConfig(
+        model=tiny_config,
+        explainer=ExplainerConfig(nsamples=2, draw_chunk=2, num_background=2),
+        testset=cfg, data_dir=str(tmp_path),
+    )
+    run_shap_pipeline(params, pcfg, ts[:1], AttributionStore(str(tmp_path)))
+
+    calls = []
+
+    def my_logits(p, c, x):
+        calls.append(x.shape)
+        return wav2vec2_logits(p, c, x)
+
+    records = eta_wer_sweep(params, tiny_config, AttributionStore(str(tmp_path)),
+                            MetricConfig(segment_ms=20.0), logits_fn=my_logits)
+    assert len(records) == 1 and len(calls) == 1
