@@ -103,7 +103,7 @@ def cmd_run_shap(args):
 
         if len(jax.devices()) > 1:
             mesh = make_mesh()
-    store = AttributionStore(args.data_dir)
+    store = AttributionStore(args.data_dir, async_writes=args.async_writes)
     results = run_shap_pipeline(params, pcfg, test_set, store, mesh=mesh,
                                 resume=not args.no_resume)
     print(json.dumps({
@@ -209,6 +209,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--draw-chunk", type=int, default=1)
     p.add_argument("--sample-batch", type=int, default=4,
                    help="samples explained per jitted call (1 = serial)")
+    p.add_argument("--async-writes", action="store_true",
+                   help="write npy files through the native C++ writer pool "
+                        "(overlaps disk IO with device compute)")
     p.add_argument("--method", choices=["grad", "deep"], default="grad",
                    help="grad = GradientExplainer (expected gradients); "
                         "deep = DeepExplainer (DeepSHAP rescale rules)")

@@ -51,11 +51,26 @@ def key_for(index: int, type_: str, snr_db: float) -> SampleKey:
 
 
 class AttributionStore:
-    """Filesystem store for attribution quadruples under ``data_dir``."""
+    """Filesystem store for attribution quadruples under ``data_dir``.
 
-    def __init__(self, data_dir: str = "data"):
+    ``async_writes=True`` routes float32 arrays through the native C++
+    write-executor pool (asr_shap.native.NpyWriterPool): ``save`` returns
+    after a memcpy and the disk IO overlaps the next group's device compute;
+    ``flush()`` (called by ``write_manifest``) blocks until everything is on
+    disk and raises if any write failed. Falls back to synchronous writes
+    without the native library.
+    """
+
+    def __init__(self, data_dir: str = "data", async_writes: bool = False,
+                 writer_threads: int = 2):
         self.data_dir = data_dir
         os.makedirs(data_dir, exist_ok=True)
+        self._pool = None
+        if async_writes:
+            from asr_shap.native import NpyWriterPool
+
+            pool = NpyWriterPool(writer_threads)
+            self._pool = pool if pool.native else None
 
     def _path(self, key: SampleKey, kind: str) -> str:
         return os.path.join(self.data_dir, key.filename(kind))
@@ -73,12 +88,23 @@ class AttributionStore:
         self._save_array(self._path(key, "shap_values"), np.asarray(shap_values))
         np.save(self._path(key, "text"), np.asarray(text))
 
-    @staticmethod
-    def _save_array(path: str, arr: np.ndarray) -> None:
+    def flush(self) -> None:
+        """Wait for queued async writes; raise on any failed write."""
+        if self._pool is not None:
+            errors = self._pool.flush()
+            if errors:
+                raise IOError(f"{errors} async npy write(s) failed in "
+                              f"{self.data_dir}")
+
+    def _save_array(self, path: str, arr: np.ndarray) -> None:
         """float32 arrays go through the native GIL-free npy writer when
-        built (the shap matrix is ~110 MB/sample, SURVEY.md section 3.1);
-        anything else through np.save."""
+        built (the shap matrix is ~110 MB/sample, SURVEY.md section 3.1) —
+        asynchronously when the store has a writer pool; anything else
+        through np.save."""
         if arr.dtype == np.float32 and arr.ndim in (1, 2):
+            if self._pool is not None:
+                self._pool.submit(path, arr)
+                return
             try:
                 from asr_shap.native import write_npy_f32_native
 
@@ -121,6 +147,7 @@ class AttributionStore:
                 yield d
 
     def write_manifest(self, extra: Optional[dict] = None) -> None:
+        self.flush()  # manifest must describe fully-landed files
         manifest = {
             "samples": [
                 {"index": k.index, "type": k.type, "snr": k.snr}

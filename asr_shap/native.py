@@ -50,6 +50,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64,
         ]
         lib.write_npy_f32.restype = ctypes.c_int32
+        lib.npy_writer_create.argtypes = [ctypes.c_int32]
+        lib.npy_writer_create.restype = ctypes.c_void_p
+        lib.npy_writer_submit.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.npy_writer_flush.argtypes = [ctypes.c_void_p]
+        lib.npy_writer_flush.restype = ctypes.c_int64
+        lib.npy_writer_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
     except OSError:
         _lib = None
@@ -116,3 +125,52 @@ def write_npy_f32_native(path: str, array: np.ndarray) -> bool:
         rows, cols,
     )
     return rc == 0
+
+
+class NpyWriterPool:
+    """Async npy write executor backed by the C++ worker pool: ``submit``
+    copies the array into C++-owned memory and returns immediately; writes
+    land on worker threads (GIL-free) overlapping device compute; ``flush``
+    blocks until everything is on disk and returns the failed-write count.
+
+    Falls back to synchronous np.save when the native library is absent.
+    """
+
+    def __init__(self, n_threads: int = 2):
+        self._lib = _load()
+        self._pool = (
+            self._lib.npy_writer_create(n_threads) if self._lib else None
+        )
+
+    @property
+    def native(self) -> bool:
+        return self._pool is not None
+
+    def submit(self, path: str, array: np.ndarray) -> None:
+        a = np.ascontiguousarray(array, dtype=np.float32)
+        if self._pool is None or a.ndim > 2:
+            np.save(path, array)
+            return
+        rows = a.shape[0] if a.ndim >= 1 else 1
+        cols = a.shape[1] if a.ndim == 2 else -1
+        self._lib.npy_writer_submit(
+            self._pool, path.encode(),
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), rows, cols,
+        )
+
+    def flush(self) -> int:
+        if self._pool is None:
+            return 0
+        return int(self._lib.npy_writer_flush(self._pool))
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._lib.npy_writer_flush(self._pool)
+            self._lib.npy_writer_destroy(self._pool)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -10,10 +10,15 @@
 //
 // Build: make -C native    (produces libasr_shap_native.so)
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
+#include <queue>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -97,5 +102,108 @@ int32_t write_npy_f32(const char* path, const float* data, int64_t rows,
   std::fclose(f);
   return ok ? 0 : -2;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Async npy write executor: a worker pool draining a job queue, so the
+// ~110 MB-per-sample attribution writes (SURVEY.md section 3.1) overlap the
+// next group's device compute instead of serializing behind it. Jobs own a
+// copy of the data (a ~30 ms memcpy versus a ~500 ms disk write), so the
+// caller's buffer is free immediately.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct WriteJob {
+  std::string path;
+  std::vector<float> data;
+  int64_t rows, cols;
+};
+
+struct WriterPool {
+  std::vector<std::thread> workers;
+  std::queue<WriteJob> jobs;
+  std::mutex mu;
+  std::condition_variable cv;       // workers wait for jobs
+  std::condition_variable idle_cv;  // flush waits for drain
+  int64_t in_flight = 0;            // queued + being written
+  std::atomic<int64_t> errors{0};
+  bool stopping = false;
+
+  explicit WriterPool(int n_threads) {
+    for (int i = 0; i < n_threads; ++i)
+      workers.emplace_back([this] { run(); });
+  }
+
+  void run() {
+    for (;;) {
+      WriteJob job;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [this] { return stopping || !jobs.empty(); });
+        if (jobs.empty()) return;  // stopping and drained
+        job = std::move(jobs.front());
+        jobs.pop();
+      }
+      if (write_npy_f32(job.path.c_str(), job.data.data(), job.rows,
+                        job.cols) != 0)
+        errors.fetch_add(1);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (--in_flight == 0) idle_cv.notify_all();
+      }
+    }
+  }
+
+  void submit(const char* path, const float* data, int64_t rows,
+              int64_t cols) {
+    int64_t n = rows * (cols >= 0 ? cols : 1);
+    WriteJob job{path, std::vector<float>(data, data + n), rows, cols};
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      jobs.push(std::move(job));
+      ++in_flight;
+    }
+    cv.notify_one();
+  }
+
+  int64_t flush() {
+    std::unique_lock<std::mutex> lk(mu);
+    idle_cv.wait(lk, [this] { return in_flight == 0; });
+    return errors.exchange(0);
+  }
+
+  ~WriterPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stopping = true;
+    }
+    cv.notify_all();
+    for (auto& t : workers) t.join();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* npy_writer_create(int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  return new WriterPool(n_threads);
+}
+
+void npy_writer_submit(void* pool, const char* path, const float* data,
+                       int64_t rows, int64_t cols) {
+  static_cast<WriterPool*>(pool)->submit(path, data, rows, cols);
+}
+
+// Blocks until every submitted write has hit the filesystem; returns the
+// number of failed writes since the last flush (and resets the counter).
+int64_t npy_writer_flush(void* pool) {
+  return static_cast<WriterPool*>(pool)->flush();
+}
+
+void npy_writer_destroy(void* pool) { delete static_cast<WriterPool*>(pool); }
 
 }  // extern "C"

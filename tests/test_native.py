@@ -72,3 +72,40 @@ def test_npy_writer_matches_store(rng):
         np.testing.assert_array_equal(back["shap_values"], phi)
         np.testing.assert_array_equal(back["audio"], audio)
         assert back["text"] == "HELLO"
+
+
+def test_npy_writer_pool_roundtrip(tmp_path, rng):
+    """The async C++ write executor: submit returns immediately, flush
+    blocks until on-disk, contents identical to np.save."""
+    from asr_shap.native import NpyWriterPool, available
+
+    pool = NpyWriterPool(2)
+    arrs = [rng.standard_normal((200, 30)).astype(np.float32) for _ in range(5)]
+    arrs.append(rng.standard_normal(77).astype(np.float32))  # 1-D path
+    for i, a in enumerate(arrs):
+        pool.submit(str(tmp_path / f"x{i}.npy"), a)
+    assert pool.flush() == 0
+    for i, a in enumerate(arrs):
+        np.testing.assert_array_equal(np.load(tmp_path / f"x{i}.npy"), a)
+    if available():
+        assert pool.native
+    pool.close()
+
+
+def test_store_async_writes(tmp_path, rng):
+    """AttributionStore(async_writes=True): save is async, write_manifest
+    flushes, loads match."""
+    from asr_shap.core.store import AttributionStore, key_for
+
+    st = AttributionStore(str(tmp_path), async_writes=True)
+    key = key_for(0, "clean", float("inf"))
+    audio = rng.standard_normal(400).astype(np.float32)
+    noise = np.zeros(400, np.float32)
+    phi = rng.standard_normal((400, 9)).astype(np.float32)
+    st.save(key, audio, noise, phi, "HELLO")
+    st.write_manifest()
+    assert st.completed(key)
+    got = st.load(key)
+    np.testing.assert_array_equal(got["audio"], audio)
+    np.testing.assert_array_equal(got["shap_values"], phi)
+    assert got["text"] == "HELLO"
