@@ -112,7 +112,10 @@ class AttributionStore:
                     return
             except Exception:
                 pass
-        np.save(path, arr)
+        # atomic fallback: tmp + rename, so resume never sees partial files
+        tmp = path + ".tmp.npy"
+        np.save(tmp, arr)
+        os.replace(tmp, path)
 
     def load(self, key: SampleKey) -> Dict[str, object]:
         out: Dict[str, object] = {}

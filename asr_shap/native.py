@@ -34,7 +34,29 @@ def _load() -> Optional[ctypes.CDLL]:
         except Exception:
             return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = _register(ctypes.CDLL(_LIB_PATH))
+    except AttributeError:
+        # stale prebuilt library missing newer symbols: force rebuild once
+        try:
+            subprocess.run(
+                ["make", "-B", "-C", _NATIVE_DIR], check=True,
+                capture_output=True, timeout=120,
+            )
+            lib = _register(ctypes.CDLL(_LIB_PATH))
+        except Exception:
+            _lib = None
+            return None
+    except OSError:
+        _lib = None
+        return None
+    _lib = lib
+    return _lib
+
+
+def _register(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare every symbol's signature; raises AttributeError when the
+    library predates a symbol (callers rebuild or fall back)."""
+    if True:
         lib.wer_counts.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
@@ -59,10 +81,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.npy_writer_flush.argtypes = [ctypes.c_void_p]
         lib.npy_writer_flush.restype = ctypes.c_int64
         lib.npy_writer_destroy.argtypes = [ctypes.c_void_p]
-        _lib = lib
-    except OSError:
-        _lib = None
-    return _lib
+    return lib
 
 
 def available() -> bool:

@@ -45,7 +45,12 @@ def background_iterator(iterable: Iterable, maxsize: int = 2) -> Iterator:
 
     def worker():
         try:
-            for item in iterable:
+            it = iter(iterable)
+            while not stop.is_set():
+                try:
+                    item = next(it)  # don't produce past a stop signal
+                except StopIteration:
+                    break
                 if not _put(item):
                     return
         except BaseException as e:  # propagate to consumer
@@ -66,7 +71,14 @@ def background_iterator(iterable: Iterable, maxsize: int = 2) -> Iterator:
             yield item
     finally:
         stop.set()  # GeneratorExit / consumer exception: release the producer
-        while not q.empty():  # drop buffered refs so HBM frees promptly
+        # drain until the producer thread is dead: a put racing the stop
+        # signal may land one more item, which must not stay referenced
+        while t.is_alive():
+            try:
+                q.get(timeout=0.05)
+            except queue.Empty:
+                pass
+        while not q.empty():
             try:
                 q.get_nowait()
             except queue.Empty:

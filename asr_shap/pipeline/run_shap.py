@@ -103,6 +103,10 @@ def _group_size(cfg: PipelineConfig, mesh) -> int:
     if mesh is None:
         return g
     ndev = int(np.prod(mesh.devices.shape[:1]))
+    if cfg.explainer.method == "deep":
+        # DeepSHAP has no draw axis to shard — always sample-shard, rounding
+        # the group UP to cover the device axis (pads are dropped)
+        return max(ndev, -(-g // ndev) * ndev)
     if g >= ndev:
         return (g // ndev) * ndev
     return 1

@@ -77,9 +77,13 @@ void batch_wer_counts(const int32_t* refs, const int32_t* ref_lens,
 }
 
 // Write a float32 C-order matrix as .npy (format 1.0). Returns 0 on success.
+// Atomic: writes to "<path>.tmp" and renames on success, so a crashed or
+// failed write never leaves a truncated file that resume logic would treat
+// as complete.
 int32_t write_npy_f32(const char* path, const float* data, int64_t rows,
                       int64_t cols) {
-  FILE* f = std::fopen(path, "wb");
+  std::string tmp = std::string(path) + ".tmp";
+  FILE* f = std::fopen(tmp.c_str(), "wb");
   if (!f) return -1;
   std::string shape = cols >= 0
       ? "(" + std::to_string(rows) + ", " + std::to_string(cols) + ", )"
@@ -99,8 +103,16 @@ int32_t write_npy_f32(const char* path, const float* data, int64_t rows,
            std::fwrite(header.data(), 1, header.size(), f) == header.size();
   int64_t n = rows * (cols >= 0 ? cols : 1);
   ok = ok && std::fwrite(data, sizeof(float), n, f) == static_cast<size_t>(n);
-  std::fclose(f);
-  return ok ? 0 : -2;
+  ok = (std::fclose(f) == 0) && ok;
+  if (!ok) {
+    std::remove(tmp.c_str());
+    return -2;
+  }
+  if (std::rename(tmp.c_str(), path) != 0) {
+    std::remove(tmp.c_str());
+    return -3;
+  }
+  return 0;
 }
 
 }  // extern "C"

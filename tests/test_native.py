@@ -109,3 +109,5 @@ def test_store_async_writes(tmp_path, rng):
     np.testing.assert_array_equal(got["audio"], audio)
     np.testing.assert_array_equal(got["shap_values"], phi)
     assert got["text"] == "HELLO"
+    # atomic writes: no temp files survive a completed flush
+    assert not [p for p in tmp_path.iterdir() if ".tmp" in p.name]
