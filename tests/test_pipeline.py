@@ -245,3 +245,28 @@ def test_sweep_with_custom_logits_fn(tiny_testset, tiny_config, tmp_path):
     records = eta_wer_sweep(params, tiny_config, AttributionStore(str(tmp_path)),
                             MetricConfig(segment_ms=20.0), logits_fn=my_logits)
     assert len(records) == 1 and len(calls) == 1
+
+
+def test_partial_bucket_resume(tiny_testset, tiny_config, tmp_path):
+    """Killing mid-bucket and resuming: the second run computes exactly the
+    missing samples and their results match a from-scratch run."""
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    ecfg = ExplainerConfig(nsamples=2, draw_chunk=2, num_background=2)
+    pcfg = PipelineConfig(model=tiny_config, explainer=ecfg, testset=cfg,
+                          data_dir=str(tmp_path / "r"), sample_batch=4)
+    store = AttributionStore(str(tmp_path / "r"))
+
+    # simulate an interrupted run: only sample 0 was persisted
+    first = run_shap_pipeline(params, pcfg, ts[:1], store)
+    assert [r["index"] for r in first] == [0]
+
+    second = run_shap_pipeline(params, pcfg, ts, store)  # resume
+    assert [r["index"] for r in second] == [1]
+
+    # oracle: an uninterrupted run elsewhere
+    pcfg2 = PipelineConfig(model=tiny_config, explainer=ecfg, testset=cfg,
+                           data_dir=str(tmp_path / "f"), sample_batch=4)
+    full = run_shap_pipeline(params, pcfg2, ts, AttributionStore(str(tmp_path / "f")))
+    np.testing.assert_allclose(second[0]["shap_values"],
+                               full[1]["shap_values"], rtol=1e-4, atol=1e-5)

@@ -220,3 +220,32 @@ def test_background_iterator_releases_producer_on_break():
     # producer stopped: no further production after the close settled
     assert len(produced) == n_after_close
     assert n_after_close < 1000
+
+
+def test_train_step_bf16_compute(tiny_config, rng):
+    """Training with dtype="bfloat16" model compute: f32 master params get
+    finite gradients through the cast and the loss decreases over steps."""
+    import dataclasses
+
+    cfg16 = dataclasses.replace(tiny_config, dtype="bfloat16",
+                                matmul_precision="default")
+    params = init_wav2vec2_params(jax.random.key(0), cfg16)
+    tc = TrainConfig(batch_size=2, learning_rate=3e-4,
+                     freeze_feature_encoder=False)
+    opt = make_optimizer(tc)
+    state = opt.init(params)
+    step = jax.jit(make_train_step(cfg16, tc, opt))
+    batch = {
+        "audio": rng.standard_normal((2, 1600)).astype(np.float32),
+        "audio_lengths": np.full((2,), 1600, np.int32),
+        "labels": rng.integers(1, 32, (2, 5)).astype(np.int32),
+        "label_lengths": np.full((2,), 5, np.int32),
+    }
+    losses = []
+    for _ in range(4):
+        params, state, loss = step(params, state, batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # master params remain float32
+    assert params["lm_head"]["kernel"].dtype == jnp.float32
