@@ -86,7 +86,9 @@ class AttributionStore:
         self._save_array(self._path(key, "audio"), np.asarray(audio))
         self._save_array(self._path(key, "noise"), np.asarray(noise))
         self._save_array(self._path(key, "shap_values"), np.asarray(shap_values))
-        np.save(self._path(key, "text"), np.asarray(text))
+        text_path = self._path(key, "text")
+        np.save(text_path + ".tmp.npy", np.asarray(text))
+        os.replace(text_path + ".tmp.npy", text_path)  # atomic, like the arrays
 
     def flush(self) -> None:
         """Wait for queued async writes; raise on any failed write."""

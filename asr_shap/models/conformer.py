@@ -301,13 +301,11 @@ def conformer_encode(
     "striding" subsampler T' = cfg.subsampled_length(T); ``lengths`` are
     then given in subsampled frames. ``cfg.dtype="bfloat16"`` casts params
     and activations to bf16 (f32 norm statistics)."""
+    from asr_shap.models.wav2vec2 import cast_params_for_compute
+
     compute_dtype = jnp.dtype(cfg.dtype)
     if compute_dtype != jnp.float32:
-        params = jax.tree.map(
-            lambda a: a.astype(compute_dtype)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a,
-            params,
-        )
+        params = cast_params_for_compute(params, compute_dtype)
         x = x.astype(compute_dtype)
     with jax.default_matmul_precision("highest" if compute_dtype == jnp.float32
                                       else "default"):

@@ -47,6 +47,7 @@ from asr_shap.models.wav2vec2 import (
     _init_norm,
     _layer_norm,
     _linear,
+    cast_params_for_compute,
     feature_encoder,
 )
 from asr_shap.ops.attention import multi_head_attention, rel_pos_embedding, rel_shift
@@ -244,11 +245,7 @@ def w2v2_conformer_logits(
     cfg = config
     compute_dtype = jnp.dtype(cfg.dtype)
     if compute_dtype != jnp.float32:
-        params = jax.tree.map(
-            lambda a: a.astype(compute_dtype)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a,
-            params,
-        )
+        params = cast_params_for_compute(params, compute_dtype)
         input_values = input_values.astype(compute_dtype)
     with jax.default_matmul_precision(cfg.matmul_precision):
         feats = feature_encoder(params, cfg, input_values, gelu)

@@ -196,6 +196,18 @@ def init_wav2vec2_params(key: jax.Array, config: Wav2Vec2Config) -> Params:
 # forward
 # ---------------------------------------------------------------------------
 
+def cast_params_for_compute(params: Params, compute_dtype) -> Params:
+    """Cast floating param leaves to the compute dtype (shared by every
+    model's bf16 speed path); float32 is a no-op."""
+    if compute_dtype == jnp.float32:
+        return params
+    return jax.tree.map(
+        lambda a: a.astype(compute_dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        params,
+    )
+
+
 def feature_lengths(config: Wav2Vec2Config, lengths: jnp.ndarray) -> jnp.ndarray:
     """Audio-sample lengths -> conv feature-encoder frame lengths."""
     out = lengths
@@ -329,11 +341,7 @@ def wav2vec2_logits(
     cfg = config
     compute_dtype = jnp.dtype(cfg.dtype)
     if compute_dtype != jnp.float32:
-        params = jax.tree.map(
-            lambda a: a.astype(compute_dtype)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a,
-            params,
-        )
+        params = cast_params_for_compute(params, compute_dtype)
         input_values = input_values.astype(compute_dtype)
     with jax.default_matmul_precision(cfg.matmul_precision):
         feats = feature_encoder(params, cfg, input_values, gelu)  # [B, T, 512]

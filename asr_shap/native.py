@@ -36,13 +36,21 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         lib = _register(ctypes.CDLL(_LIB_PATH))
     except AttributeError:
-        # stale prebuilt library missing newer symbols: force rebuild once
+        # Stale prebuilt library missing newer symbols: rebuild, then load a
+        # COPY under a fresh path — dlopen dedups by inode, so re-opening the
+        # relinked _LIB_PATH would return the already-mapped stale handle.
         try:
+            import shutil
+            import tempfile
+
             subprocess.run(
                 ["make", "-B", "-C", _NATIVE_DIR], check=True,
                 capture_output=True, timeout=120,
             )
-            lib = _register(ctypes.CDLL(_LIB_PATH))
+            fd, fresh = tempfile.mkstemp(suffix=".so", prefix="asr_shap_native_")
+            os.close(fd)
+            shutil.copy2(_LIB_PATH, fresh)
+            lib = _register(ctypes.CDLL(fresh))
         except Exception:
             _lib = None
             return None
@@ -56,31 +64,30 @@ def _load() -> Optional[ctypes.CDLL]:
 def _register(lib: ctypes.CDLL) -> ctypes.CDLL:
     """Declare every symbol's signature; raises AttributeError when the
     library predates a symbol (callers rebuild or fall back)."""
-    if True:
-        lib.wer_counts.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.batch_wer_counts.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.write_npy_f32.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64, ctypes.c_int64,
-        ]
-        lib.write_npy_f32.restype = ctypes.c_int32
-        lib.npy_writer_create.argtypes = [ctypes.c_int32]
-        lib.npy_writer_create.restype = ctypes.c_void_p
-        lib.npy_writer_submit.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64, ctypes.c_int64,
-        ]
-        lib.npy_writer_flush.argtypes = [ctypes.c_void_p]
-        lib.npy_writer_flush.restype = ctypes.c_int64
-        lib.npy_writer_destroy.argtypes = [ctypes.c_void_p]
+    lib.wer_counts.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.batch_wer_counts.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.write_npy_f32.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.write_npy_f32.restype = ctypes.c_int32
+    lib.npy_writer_create.argtypes = [ctypes.c_int32, ctypes.c_int64]
+    lib.npy_writer_create.restype = ctypes.c_void_p
+    lib.npy_writer_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.npy_writer_flush.argtypes = [ctypes.c_void_p]
+    lib.npy_writer_flush.restype = ctypes.c_int64
+    lib.npy_writer_destroy.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -155,10 +162,14 @@ class NpyWriterPool:
     Falls back to synchronous np.save when the native library is absent.
     """
 
-    def __init__(self, n_threads: int = 2):
+    def __init__(self, n_threads: int = 2, max_pending: int = 4):
+        """``max_pending`` bounds queued copies (backpressure): submit blocks
+        once that many writes are outstanding, capping host memory at
+        max_pending buffers."""
         self._lib = _load()
         self._pool = (
-            self._lib.npy_writer_create(n_threads) if self._lib else None
+            self._lib.npy_writer_create(n_threads, max_pending)
+            if self._lib else None
         )
 
     @property

@@ -25,6 +25,16 @@ from typing import Any, Callable, Dict, Iterable, Iterator, Optional
 _SENTINEL = object()
 
 
+class _ProducerError:
+    """Unique wrapper for producer exceptions — a plain tagged tuple could
+    collide with legitimate items."""
+
+    __slots__ = ("exc",)
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def background_iterator(iterable: Iterable, maxsize: int = 2) -> Iterator:
     """Iterate ``iterable`` on a daemon thread, yielding through a bounded
     queue. Exceptions in the producer re-raise at the consumer. Closing or
@@ -54,7 +64,7 @@ def background_iterator(iterable: Iterable, maxsize: int = 2) -> Iterator:
                 if not _put(item):
                     return
         except BaseException as e:  # propagate to consumer
-            _put(("__error__", e))
+            _put(_ProducerError(e))
             return
         _put(_SENTINEL)
 
@@ -66,8 +76,8 @@ def background_iterator(iterable: Iterable, maxsize: int = 2) -> Iterator:
             item = q.get()
             if item is _SENTINEL:
                 return
-            if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
-                raise item[1]
+            if isinstance(item, _ProducerError):
+                raise item.exc
             yield item
     finally:
         stop.set()  # GeneratorExit / consumer exception: release the producer

@@ -42,9 +42,11 @@ def eta_wer_sweep(
     """
     logits_fn = logits_fn or wav2vec2_logits
 
+    # params as a jit ARGUMENT: closing over large weight trees bakes them
+    # into the HLO as constants (same rationale as run_shap._sample_step)
     @jax.jit
-    def decode_step(x):
-        logits = logits_fn(params, model_cfg, x[None, :])
+    def decode_step(p, x):
+        logits = logits_fn(p, model_cfg, x[None, :])
         ids, keep = ctc_greedy_decode(logits)
         return ids[0], keep[0]
 
@@ -59,7 +61,7 @@ def eta_wer_sweep(
         clean = mixed - noise  # nraw_vs_wer.py:141-142
         phi = np.asarray(sample["shap_values"], np.float32)
 
-        ids, keep = decode_step(zero_mean_unit_var(jnp.asarray(mixed)))
+        ids, keep = decode_step(params, zero_mean_unit_var(jnp.asarray(mixed)))
         hyp = ctc_ids_to_text(np.asarray(ids), np.asarray(keep), vocab)
         ref = sample["text"]
         sample_wer = wer(ref, hyp) if ref.strip() else float("nan")

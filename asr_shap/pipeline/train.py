@@ -249,11 +249,15 @@ def train(
     stopper = EarlyStopping(
         train_cfg.early_stopping_patience, train_cfg.early_stopping_min_delta
     )
+    from asr_shap.pipeline.prefetch import background_iterator
+
     history = []
     for epoch in range(train_cfg.num_epochs):
         ep_losses = []
         batches = train_batches() if callable(train_batches) else train_batches
-        for batch in batches:
+        # host batch construction (noise mixing, padding, np IO) overlaps the
+        # device step through the background producer
+        for batch in background_iterator(iter(batches), maxsize=2):
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             params, opt_state, loss = step_fn(params, opt_state, batch)
@@ -263,7 +267,7 @@ def train(
         if val_batches is not None:
             vb = val_batches() if callable(val_batches) else val_batches
             vl = []
-            for batch in vb:
+            for batch in background_iterator(iter(vb), maxsize=2):
                 if mesh is not None:
                     batch = shard_batch(batch, mesh)
                 vl.append(float(eval_fn(params, batch)))

@@ -138,12 +138,14 @@ struct WriterPool {
   std::queue<WriteJob> jobs;
   std::mutex mu;
   std::condition_variable cv;       // workers wait for jobs
-  std::condition_variable idle_cv;  // flush waits for drain
+  std::condition_variable idle_cv;  // flush/backpressure wait for capacity
   int64_t in_flight = 0;            // queued + being written
+  int64_t max_pending;              // backpressure bound on queued copies
   std::atomic<int64_t> errors{0};
   bool stopping = false;
 
-  explicit WriterPool(int n_threads) {
+  explicit WriterPool(int n_threads, int64_t max_pending_jobs)
+      : max_pending(max_pending_jobs < 1 ? 1 : max_pending_jobs) {
     for (int i = 0; i < n_threads; ++i)
       workers.emplace_back([this] { run(); });
   }
@@ -163,17 +165,22 @@ struct WriterPool {
         errors.fetch_add(1);
       {
         std::lock_guard<std::mutex> lk(mu);
-        if (--in_flight == 0) idle_cv.notify_all();
+        --in_flight;
+        idle_cv.notify_all();  // wake flush and backpressured submitters
       }
     }
   }
 
+  // Blocks while max_pending jobs are outstanding: bounds host memory to
+  // max_pending copied buffers (~110 MB each at reference scale) instead of
+  // letting a fast producer queue the whole sweep.
   void submit(const char* path, const float* data, int64_t rows,
               int64_t cols) {
     int64_t n = rows * (cols >= 0 ? cols : 1);
     WriteJob job{path, std::vector<float>(data, data + n), rows, cols};
     {
-      std::lock_guard<std::mutex> lk(mu);
+      std::unique_lock<std::mutex> lk(mu);
+      idle_cv.wait(lk, [this] { return in_flight < max_pending; });
       jobs.push(std::move(job));
       ++in_flight;
     }
@@ -200,9 +207,9 @@ struct WriterPool {
 
 extern "C" {
 
-void* npy_writer_create(int32_t n_threads) {
+void* npy_writer_create(int32_t n_threads, int64_t max_pending) {
   if (n_threads < 1) n_threads = 1;
-  return new WriterPool(n_threads);
+  return new WriterPool(n_threads, max_pending);
 }
 
 void npy_writer_submit(void* pool, const char* path, const float* data,
