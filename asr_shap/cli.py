@@ -20,6 +20,10 @@ import sys
 
 
 def _add_model_args(ap):
+    ap.add_argument("--arch", choices=["wav2vec2", "w2v2-conformer"],
+                    default="wav2vec2",
+                    help="model family (w2v2-conformer = the rel-pos "
+                         "conformer of the reference's R12 study)")
     ap.add_argument("--params", type=str, default=None,
                     help=".npz params (core/params_io.py)")
     ap.add_argument("--hf", type=str, default=None,
@@ -36,28 +40,37 @@ def _add_model_args(ap):
 def _load_model(args):
     import jax
 
-    from asr_shap.core.config import Wav2Vec2Config
+    from asr_shap.core.config import Wav2Vec2Config, Wav2Vec2ConformerConfig
 
+    conformer = getattr(args, "arch", "wav2vec2") == "w2v2-conformer"
+    small_kw = dict(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, feat_proj_dim=32,
+    )
     if args.tiny:
-        cfg = Wav2Vec2Config(
-            hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
-            intermediate_size=128, conv_dim=(32, 32), conv_stride=(5, 2),
-            conv_kernel=(10, 3), num_conv_pos_embeddings=16,
-            num_conv_pos_embedding_groups=4, feat_proj_dim=32,
-        )
+        kw = dict(small_kw, conv_dim=(32, 32), conv_stride=(5, 2),
+                  conv_kernel=(10, 3))
     elif getattr(args, "small", False):
-        # full x320 conv stack (realistic T_frames ~= N/320, which bounds the
-        # Jacobian row count) with a small encoder
-        cfg = Wav2Vec2Config(
-            hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
-            intermediate_size=128, conv_dim=(32,) * 7,
-            num_conv_pos_embeddings=16,
-            num_conv_pos_embedding_groups=4, feat_proj_dim=32,
-        )
+        # full x320 conv stack (realistic T_frames ~= N/320, which bounds
+        # the Jacobian row count) with a small encoder
+        kw = dict(small_kw, conv_dim=(32,) * 7)
+    else:
+        kw = None
+
+    if conformer:
+        cfg = (Wav2Vec2ConformerConfig(**kw, conv_depthwise_kernel_size=7)
+               if kw else Wav2Vec2ConformerConfig())
+    elif kw:
+        cfg = Wav2Vec2Config(**kw, num_conv_pos_embeddings=16,
+                             num_conv_pos_embedding_groups=4)
     else:
         cfg = Wav2Vec2Config()
 
     if args.hf:
+        if conformer:
+            from asr_shap.models.convert_hf import load_pretrained_conformer
+
+            return load_pretrained_conformer(args.hf)
         from asr_shap.models.convert_hf import load_pretrained
 
         return load_pretrained(args.hf)
@@ -70,6 +83,10 @@ def _load_model(args):
             "no --params/--hf given; falling back to random init "
             "(transcripts will be garbage — fine for runtime testing)"
         )
+    if conformer:
+        from asr_shap.models.w2v2_conformer import init_w2v2_conformer_params
+
+        return init_w2v2_conformer_params(jax.random.key(0), cfg), cfg
     from asr_shap.models.wav2vec2 import init_wav2vec2_params
 
     return init_wav2vec2_params(jax.random.key(0), cfg), cfg
@@ -122,7 +139,12 @@ def cmd_sweep(args):
     store = AttributionStore(args.data_dir)
     mcfg = MetricConfig(segment_ms=args.segment_ms, percentile=args.percentile,
                         itm_variant=args.itm)
-    records = eta_wer_sweep(params, cfg, store, mcfg)
+    logits_fn = None
+    if getattr(args, "arch", "wav2vec2") == "w2v2-conformer":
+        from asr_shap.models.w2v2_conformer import w2v2_conformer_logits
+
+        logits_fn = w2v2_conformer_logits
+    records = eta_wer_sweep(params, cfg, store, mcfg, logits_fn=logits_fn)
     for r in records:
         print(json.dumps(r))
     corr = correlation(records)

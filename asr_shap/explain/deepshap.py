@@ -182,6 +182,34 @@ def wav2vec2_dual_fn(
     return f_dual
 
 
+def w2v2_conformer_dual_fn(
+    params,
+    model_config,
+    explainer_config,
+    remat: Optional[bool] = None,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """DeepSHAP dual forward on the Wav2Vec2-Conformer: GELU rescale in the
+    conv feature encoder plus SiLU/GLU rescale in the conformer blocks
+    (the w2v2conformer.py DeepExplainer study, reference :139-142)."""
+    from asr_shap.models.conformer import deepshap_rules
+    from asr_shap.models.heads import aggregation_head
+    from asr_shap.models.w2v2_conformer import w2v2_conformer_logits
+
+    ec = explainer_config
+    use_remat = ec.remat if remat is None else remat
+    rules = deepshap_rules()
+
+    def f_dual(d: jnp.ndarray) -> jnp.ndarray:
+        logits = w2v2_conformer_logits(
+            params, model_config, d, remat=use_remat, rules=rules,
+            gelu=gelu_rescale,
+        )
+        out = aggregation_head(logits, ec.aggregation, ec.token_timestep, ec.token_id)
+        return out[0]
+
+    return f_dual
+
+
 def deep_explain_wav2vec2(
     params,
     model_config,

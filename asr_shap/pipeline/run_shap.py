@@ -41,7 +41,11 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from asr_shap.audio.normalize import zero_mean_unit_var
-from asr_shap.core.config import PipelineConfig, WAV2VEC2_VOCAB
+from asr_shap.core.config import (
+    PipelineConfig,
+    WAV2VEC2_VOCAB,
+    Wav2Vec2ConformerConfig,
+)
 from asr_shap.core.prng import fold
 from asr_shap.core.store import AttributionStore, key_for
 from asr_shap.explain.baselines import zeros_noise_background
@@ -66,10 +70,19 @@ def _sample_step(cfg: PipelineConfig, mesh=None):
     accept. With ``mesh`` the expected-gradients draw axis shards over the
     mesh (the single-sample multi-chip speedup path)."""
     mc, ec = cfg.model, cfg.explainer
+    # the config type selects the model family (Wav2Vec2ConformerConfig is a
+    # Wav2Vec2Config subclass) — reference study R12 runs through the same
+    # pipeline as the base model
+    if isinstance(mc, Wav2Vec2ConformerConfig):
+        from asr_shap.models.w2v2_conformer import w2v2_conformer_logits
+
+        logits_fn = w2v2_conformer_logits
+    else:
+        logits_fn = wav2vec2_logits
 
     def step(params, x, key):
         def f(xx):
-            logits = wav2vec2_logits(params, mc, xx[None, :], remat=ec.remat)
+            logits = logits_fn(params, mc, xx[None, :], remat=ec.remat)
             return aggregation_head(
                 logits, ec.aggregation, ec.token_timestep, ec.token_id
             )[0]
@@ -77,13 +90,21 @@ def _sample_step(cfg: PipelineConfig, mesh=None):
         bg = zeros_noise_background(
             fold(key, 0), x.shape[0], ec.num_background, ec.background_sigma
         )
-        logits = wav2vec2_logits(params, mc, x[None, :])
+        logits = logits_fn(params, mc, x[None, :])
         conf = mean_max_softmax_confidence(logits)[0]
         ids, keep = ctc_greedy_decode(logits)
         if ec.method == "deep":
-            from asr_shap.explain.deepshap import deep_shap_values, wav2vec2_dual_fn
+            from asr_shap.explain.deepshap import (
+                deep_shap_values,
+                w2v2_conformer_dual_fn,
+                wav2vec2_dual_fn,
+            )
 
-            f_dual = wav2vec2_dual_fn(params, mc, ec)
+            dual_builder = (
+                w2v2_conformer_dual_fn
+                if isinstance(mc, Wav2Vec2ConformerConfig) else wav2vec2_dual_fn
+            )
+            f_dual = dual_builder(params, mc, ec)
             expl = deep_shap_values(f_dual, x, bg, ec.output_chunk)
         elif mesh is not None:
             expl = expected_gradients_sharded(f, x, bg, fold(key, 1), mesh, ec)

@@ -270,3 +270,36 @@ def test_partial_bucket_resume(tiny_testset, tiny_config, tmp_path):
     full = run_shap_pipeline(params, pcfg2, ts, AttributionStore(str(tmp_path / "f")))
     np.testing.assert_allclose(second[0]["shap_values"],
                                full[1]["shap_values"], rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_conformer_family(tiny_testset, tmp_path):
+    """The pipeline dispatches on the config type: a Wav2Vec2ConformerConfig
+    runs the rel-pos conformer end-to-end (reference study R12 as a
+    pipeline), for both explainer methods."""
+    import dataclasses
+
+    from asr_shap.core.config import Wav2Vec2ConformerConfig
+    from asr_shap.models.w2v2_conformer import init_w2v2_conformer_params
+
+    cfg, ts = tiny_testset
+    ccfg = Wav2Vec2ConformerConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, conv_dim=(32, 32), conv_stride=(5, 2),
+        conv_kernel=(10, 3), feat_proj_dim=32, conv_depthwise_kernel_size=7,
+    )
+    params = init_w2v2_conformer_params(jax.random.key(0), ccfg)
+    n = len(ts[0]["audio"])
+
+    for method, sub in (("grad", "g"), ("deep", "d")):
+        pcfg = PipelineConfig(
+            model=ccfg,
+            explainer=ExplainerConfig(nsamples=2, draw_chunk=2,
+                                      num_background=2, method=method,
+                                      aggregation="mean", remat=False),
+            testset=cfg, data_dir=str(tmp_path / sub),
+        )
+        res = run_shap_pipeline(params, pcfg, ts[:1],
+                                AttributionStore(str(tmp_path / sub)))
+        phi = res[0]["shap_values"]
+        assert phi.shape == (n, ccfg.frames_for_samples(n))
+        assert np.isfinite(phi).all()
