@@ -116,3 +116,14 @@ def test_params_npz_roundtrip(tiny_config, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # structure preserved: list of conv layers stays a list
     assert isinstance(back["feature_encoder"], list)
+
+
+def test_cli_help_all_subcommands():
+    """Arg wiring regression: --help renders for every subcommand."""
+    import asr_shap.cli as cli
+
+    parser = cli.build_parser()
+    for cmd in ("run-shap", "sweep", "metric", "visualize", "bench"):
+        with pytest.raises(SystemExit) as e:
+            parser.parse_args([cmd, "--help"])
+        assert e.value.code == 0

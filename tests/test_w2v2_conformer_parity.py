@@ -193,3 +193,17 @@ def test_relpos_padded_batch_matches_torch_mask(relpos_pair, rng):
     t_b = cfg.frames_for_samples(1000)
     np.testing.assert_allclose(ours[0], ref[0], rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(ours[1, :t_b], ref[1, :t_b], rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_impl_falls_back_for_relpos_bias(relpos_pair, rng):
+    """attention_impl="pallas" with the rel-pos [B,H,T,T] bias must route to
+    the XLA path (the flash kernel only fuses rank-1 masks) and produce the
+    same logits as the xla impl."""
+    import dataclasses
+
+    cfg, _, params = relpos_pair
+    x = jnp.asarray(rng.standard_normal((1, 1600)).astype(np.float32))
+    ref = np.asarray(w2v2_conformer_logits(params, cfg, x))
+    cfg_p = dataclasses.replace(cfg, attention_impl="pallas")
+    out = np.asarray(w2v2_conformer_logits(params, cfg_p, x))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
