@@ -8,7 +8,9 @@ flag-driven instead of module-level side effects and input() prompts
   sweep      : eta_raw-vs-WER sweep over data/ (+ scatter plot)
   metric     : single-sample eta_raw from stored npy files
   visualize  : interactive per-character attribution viewer
+  compare    : LIME-vs-SHAP comparison on one clip (4-panel figure + wavs)
   bench      : explainer runtime-vs-length sweep
+  train      : CTC training on the text-conditional synthetic corpus
 """
 
 from __future__ import annotations
@@ -109,7 +111,9 @@ def cmd_run_shap(args):
         model=cfg,
         explainer=ExplainerConfig(nsamples=args.nsamples,
                                   draw_chunk=args.draw_chunk,
-                                  method=args.method),
+                                  method=args.method,
+                                  num_background=args.num_background,
+                                  kmeans_background=args.kmeans),
         testset=tcfg, data_dir=args.data_dir, seed=args.seed,
         sample_batch=args.sample_batch,
     )
@@ -133,7 +137,7 @@ def cmd_run_shap(args):
 def cmd_sweep(args):
     from asr_shap.core.config import MetricConfig
     from asr_shap.core.store import AttributionStore
-    from asr_shap.pipeline.sweep import correlation, eta_wer_sweep
+    from asr_shap.pipeline.sweep import eta_wer_sweep, sweep_summary
 
     params, cfg = _load_model(args)
     store = AttributionStore(args.data_dir)
@@ -144,11 +148,14 @@ def cmd_sweep(args):
         from asr_shap.models.w2v2_conformer import w2v2_conformer_logits
 
         logits_fn = w2v2_conformer_logits
-    records = eta_wer_sweep(params, cfg, store, mcfg, logits_fn=logits_fn)
+    records = eta_wer_sweep(params, cfg, store, mcfg, logits_fn=logits_fn,
+                            batch=args.batch)
     for r in records:
         print(json.dumps(r))
-    corr = correlation(records)
-    print(json.dumps({"pearson_r": corr, "n": len(records)}))
+    summary = sweep_summary(records)
+    # headline r excludes snr=inf rows, whose eta_raw==1.0 by construction
+    print(json.dumps({"pearson_r": summary["pearson_r_noisy"],
+                      "n": len(records), **summary}))
     if args.plot:
         from asr_shap.viz.static import plot_eta_wer_scatter
 
@@ -198,6 +205,66 @@ def cmd_visualize(args):
         viewer.show()
 
 
+def cmd_compare(args):
+    import jax
+    import numpy as np
+
+    from asr_shap.core.config import ExplainerConfig, TestSetConfig
+    from asr_shap.pipeline.compare import comparison_record, lime_shap_comparison
+
+    params, cfg = _load_model(args)
+    if args.audio:
+        audio = np.load(args.audio)
+    else:
+        from asr_shap.pipeline.testset import synthetic_speech
+
+        n = int(round(args.clip_seconds * 16_000))
+        audio = synthetic_speech(jax.random.key(args.seed), n)
+    ecfg = ExplainerConfig(
+        nsamples=args.nsamples,
+        lime_num_samples=args.lime_samples,
+        lime_num_segments=args.lime_segments,
+        lime_mask_prob=args.lime_keep_prob,
+        lime_ridge_alpha=args.ridge_alpha,
+    )
+    logits_fn = None
+    if getattr(args, "arch", "wav2vec2") == "w2v2-conformer":
+        from asr_shap.models.w2v2_conformer import w2v2_conformer_logits
+
+        logits_fn = w2v2_conformer_logits
+    result = lime_shap_comparison(
+        params, cfg, ecfg, audio, key=jax.random.key(args.seed),
+        clip_seconds=args.clip_seconds, out_dir=args.out_dir,
+        logits_fn=logits_fn,
+    )
+    print(comparison_record(result))
+
+
+def cmd_train(args):
+    from asr_shap.core.config import TrainConfig
+    from asr_shap.core.params_io import save_params
+    from asr_shap.pipeline.train_synthetic import train_synthetic
+
+    params, cfg = _load_model(args)
+    tcfg = TrainConfig(
+        learning_rate=args.lr, num_epochs=args.epochs,
+        batch_size=args.batch_size, snrs_db=tuple(args.train_snrs),
+        early_stopping_patience=args.patience,
+        freeze_feature_encoder=False, seed=args.seed,
+    )
+    params, summary = train_synthetic(
+        cfg, tcfg,
+        params=None if args.random_init or not (args.params or args.hf)
+        else params,
+        clip_seconds=args.clip_seconds,
+        batches_per_epoch=args.batches_per_epoch,
+        target_wer=args.target_wer, seed=args.seed,
+    )
+    save_params(args.out, params)
+    summary["params_path"] = args.out
+    print(json.dumps(summary))
+
+
 def cmd_bench(args):
     from asr_shap.pipeline.benchmarks import run_length_sweep
 
@@ -237,6 +304,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", choices=["grad", "deep"], default="grad",
                    help="grad = GradientExplainer (expected gradients); "
                         "deep = DeepExplainer (DeepSHAP rescale rules)")
+    p.add_argument("--num-background", type=int, default=5,
+                   help="background rows (zeros + sigma*noise, "
+                        "shap_calculation.py:126-127)")
+    p.add_argument("--kmeans", type=int, default=0,
+                   help=">0: summarize the background to k centroids before "
+                        "explaining (shap.kmeans, w2v2conformer.py:134-137)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", action="store_true", help="shard draws over devices")
     p.add_argument("--no-resume", action="store_true")
@@ -248,8 +321,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--segment-ms", type=float, default=0.0625)
     p.add_argument("--percentile", type=float, default=99.0)
     p.add_argument("--itm", choices=["strict", "half"], default="strict")
+    p.add_argument("--batch", type=int, default=8,
+                   help="samples per jitted decode+eta call (length buckets)")
     p.add_argument("--plot", type=str, default="wer_vs_eta_raw_plot.png")
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("compare",
+                       help="LIME-vs-SHAP comparison on one clip "
+                            "(reference lime_shap_wav2vec2_comparison.py)")
+    _add_model_args(p)
+    p.add_argument("--audio", type=str, default=None,
+                   help=".npy waveform; default = a seeded synthetic clip")
+    p.add_argument("--clip-seconds", type=float, default=2.0)
+    p.add_argument("--nsamples", type=int, default=200,
+                   help="SHAP expected-gradients draws")
+    p.add_argument("--lime-samples", type=int, default=500,
+                   help="LIME perturbations (reference :89)")
+    p.add_argument("--lime-segments", type=int, default=64)
+    p.add_argument("--lime-keep-prob", type=float, default=0.5)
+    p.add_argument("--ridge-alpha", type=float, default=1.0)
+    p.add_argument("--out-dir", type=str, default="artifacts")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_compare)
 
     p = sub.add_parser("metric", help="single-sample eta_raw")
     p.add_argument("--audio", required=True)
@@ -267,6 +360,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save", type=str, default=None,
                    help="render headless to this png instead of showing")
     p.set_defaults(fn=cmd_visualize)
+
+    p = sub.add_parser("train",
+                       help="CTC training on the text-conditional synthetic "
+                            "corpus until greedy decode works (L8)")
+    _add_model_args(p)
+    p.add_argument("--out", type=str, default="params_synthetic.npz",
+                   help="output .npz params path")
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--batches-per-epoch", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--clip-seconds", type=float, default=2.0)
+    p.add_argument("--patience", type=int, default=5)
+    p.add_argument("--train-snrs", type=float, nargs="*", default=[],
+                   help="optional noise-augmentation SNRs "
+                        "(train_asr.py:112 capability; empty = clean)")
+    p.add_argument("--target-wer", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("bench", help="runtime-vs-length sweep")
     p.add_argument("--lengths", type=int, nargs="+",

@@ -186,13 +186,20 @@ class ExplainerConfig:
     draw_chunk: int = 8       # interpolation draws evaluated per scan step
     output_chunk: int = 0     # 0 = all output frames in one batched VJP
     remat: bool = True        # jax.checkpoint through the encoder for backward
-    # LIME (lime_shap_wav2vec2_comparison.py:75-90): perturbations + ridge.
+    # LIME (lime_shap_wav2vec2_comparison.py:75-90) — consumed by the
+    # LIME-vs-SHAP comparison harness (pipeline/compare.py) and the
+    # ``compare`` CLI subcommand.
     lime_num_samples: int = 500
     lime_mask_prob: float = 0.5
     lime_ridge_alpha: float = 1.0
-    # DeepSHAP (DeepExplainer equivalents; w2v2conformer.py:137-142).
-    deepshap_nsamples: int = 500
-    kmeans_background: int = 0  # >0: summarize background to k centroids
+    lime_num_segments: int = 64  # coalition features over the waveform
+    # DeepSHAP background summarization (w2v2conformer.py:134-137:
+    # shap.kmeans(background, 10)): >0 summarizes the num_background noise
+    # rows to k centroids before explaining (any method; the reference uses
+    # it with DeepExplainer). This framework's DeepSHAP is deterministic over
+    # the background set, so the reference's separate nsamples=500 argument
+    # is subsumed by num_background/kmeans_background.
+    kmeans_background: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

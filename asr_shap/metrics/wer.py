@@ -71,3 +71,31 @@ def wer(reference: str, hypothesis: str) -> float:
         counts = word_edit_counts(ref_w, hyp_w)
     s, d, i, _ = counts
     return (s + d + i) / len(ref_w)
+
+
+def batch_wer(references: Sequence[str], hypotheses: Sequence[str]) -> List[float]:
+    """Per-pair WER for a batch of transcript pairs in ONE native call
+    (asr_shap.native.batch_wer_native runs the Levenshtein DPs GIL-free in
+    C++); falls back to the per-pair Python scorer. Pairs whose reference is
+    empty yield nan (the sweep's convention for unscoreable rows)."""
+    if len(references) != len(hypotheses):
+        raise ValueError("references and hypotheses must have equal length")
+    pairs = [(_words(r), _words(h)) for r, h in zip(references, hypotheses)]
+    scoreable = [i for i, (rw, _) in enumerate(pairs) if rw]
+    out = [float("nan")] * len(pairs)
+    if not scoreable:
+        return out
+    counts = None
+    try:
+        from asr_shap.native import batch_wer_native
+
+        toks = [_tokenize_pair(*pairs[i]) for i in scoreable]
+        counts = batch_wer_native([t[0] for t in toks], [t[1] for t in toks])
+    except Exception:
+        counts = None
+    if counts is None:
+        counts = [word_edit_counts(*pairs[i]) for i in scoreable]
+    for row, i in enumerate(scoreable):
+        s, d, ins, _ = (int(v) for v in counts[row])
+        out[i] = (s + d + ins) / len(pairs[i][0])
+    return out

@@ -8,11 +8,15 @@ fallback, so the framework works without the library.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
+import tempfile
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libasr_shap_native.so")
@@ -41,8 +45,9 @@ def _load() -> Optional[ctypes.CDLL]:
         # relinked _LIB_PATH would return the already-mapped stale handle.
         try:
             import shutil
-            import tempfile
 
+            logger.info("native library predates a symbol; rebuilding %s",
+                        _LIB_PATH)
             subprocess.run(
                 ["make", "-B", "-C", _NATIVE_DIR], check=True,
                 capture_output=True, timeout=120,
@@ -51,6 +56,14 @@ def _load() -> Optional[ctypes.CDLL]:
             os.close(fd)
             shutil.copy2(_LIB_PATH, fresh)
             lib = _register(ctypes.CDLL(fresh))
+            # the mapping stays valid after unlink on POSIX; drop the inode so
+            # the temp copy doesn't outlive the process
+            try:
+                os.unlink(fresh)
+            except OSError:
+                import atexit
+
+                atexit.register(lambda p=fresh: os.path.exists(p) and os.unlink(p))
         except Exception:
             _lib = None
             return None
@@ -179,7 +192,19 @@ class NpyWriterPool:
     def submit(self, path: str, array: np.ndarray) -> None:
         a = np.ascontiguousarray(array, dtype=np.float32)
         if self._pool is None or a.ndim > 2:
-            np.save(path, array)
+            # keep the tmp+rename atomicity contract resume logic relies on
+            # (same pattern as AttributionStore._save_array)
+            fd, tmp = tempfile.mkstemp(
+                suffix=".npy.tmp", dir=os.path.dirname(path) or "."
+            )
+            try:
+                with os.fdopen(fd, "wb") as fh:
+                    np.save(fh, array)
+                os.replace(tmp, path)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
             return
         rows = a.shape[0] if a.ndim >= 1 else 1
         cols = a.shape[1] if a.ndim == 2 else -1

@@ -48,6 +48,23 @@ def ctc_ids_to_text(
     return "".join(toks).replace(word_delimiter, " ").strip()
 
 
+def text_to_ids(
+    text: str,
+    vocab: Sequence[str] = WAV2VEC2_VOCAB,
+    word_delimiter: str = "|",
+    unk_id: int = 3,
+) -> List[int]:
+    """Inverse of :func:`ctc_ids_to_text` for training labels: uppercase
+    characters to vocab ids, spaces to the word delimiter (HF tokenizer
+    semantics; the reference's vocab contract, shap_calculation.py:221-254).
+    Characters outside the vocab map to <unk>."""
+    lut = {c: i for i, c in enumerate(vocab)}
+    return [
+        lut.get(word_delimiter if c == " " else c, unk_id)
+        for c in text.upper().strip()
+    ]
+
+
 def ctc_decode_batch(
     logits, lengths=None, vocab: Sequence[str] = WAV2VEC2_VOCAB
 ) -> List[str]:

@@ -40,7 +40,11 @@ def background_iterator(iterable: Iterable, maxsize: int = 2) -> Iterator:
     queue. Exceptions in the producer re-raise at the consumer. Closing or
     abandoning the returned generator (break / GC / exception in the
     consumer loop) signals the producer to stop, so no thread stays blocked
-    on a full queue pinning device batches."""
+    on a full queue pinning device batches.
+
+    The producer thread starts HERE (not on first ``next``), so up to
+    ``maxsize`` items are already being produced before the consumer begins
+    iterating — the 'depth steps ahead' contract of prefetch_to_device."""
     q: "queue.Queue" = queue.Queue(maxsize=maxsize)
     stop = threading.Event()
 
@@ -69,30 +73,33 @@ def background_iterator(iterable: Iterable, maxsize: int = 2) -> Iterator:
         _put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
-    t.start()
+    t.start()  # eager: production begins before the first next()
 
-    try:
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                return
-            if isinstance(item, _ProducerError):
-                raise item.exc
-            yield item
-    finally:
-        stop.set()  # GeneratorExit / consumer exception: release the producer
-        # drain until the producer thread is dead: a put racing the stop
-        # signal may land one more item, which must not stay referenced
-        while t.is_alive():
-            try:
-                q.get(timeout=0.05)
-            except queue.Empty:
-                pass
-        while not q.empty():
-            try:
-                q.get_nowait()
-            except queue.Empty:
-                break
+    def _drain() -> Iterator:
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    return
+                if isinstance(item, _ProducerError):
+                    raise item.exc
+                yield item
+        finally:
+            stop.set()  # GeneratorExit / consumer exception: release producer
+            # drain until the producer thread is dead: a put racing the stop
+            # signal may land one more item, which must not stay referenced
+            while t.is_alive():
+                try:
+                    q.get(timeout=0.05)
+                except queue.Empty:
+                    pass
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+    return _drain()
 
 
 def prefetch_to_device(

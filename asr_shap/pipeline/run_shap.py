@@ -90,6 +90,12 @@ def _sample_step(cfg: PipelineConfig, mesh=None):
         bg = zeros_noise_background(
             fold(key, 0), x.shape[0], ec.num_background, ec.background_sigma
         )
+        if ec.kmeans_background > 0:
+            # shap.kmeans-style background summarization before explaining
+            # (the Conformer DeepExplainer study, w2v2conformer.py:134-137)
+            from asr_shap.explain.baselines import kmeans_background
+
+            bg = kmeans_background(fold(key, 2), bg, ec.kmeans_background)
         logits = logits_fn(params, mc, x[None, :])
         conf = mean_max_softmax_confidence(logits)[0]
         ids, keep = ctc_greedy_decode(logits)

@@ -1,6 +1,13 @@
 """eta_raw-vs-WER evaluation sweep over the attribution store — the
 equivalent of ``python nraw_vs_wer.py`` (call stack SURVEY.md section 3.3),
 with the model forward, greedy decode prep, and eta_raw all device-side.
+
+The reference loops samples serially on the host, one model call each
+(nraw_vs_wer.py:118-154). Here stored samples are grouped into exact-length
+buckets (like run_shap's hot loop): one jitted executable per distinct audio
+length runs the batched decode + batched eta_raw for up to ``batch`` samples
+per call, and WER for the whole sweep is one native C++ batch call over the
+transcript pairs.
 """
 
 from __future__ import annotations
@@ -16,7 +23,7 @@ from asr_shap.audio.normalize import zero_mean_unit_var
 from asr_shap.core.config import MetricConfig, WAV2VEC2_VOCAB, Wav2Vec2Config
 from asr_shap.core.store import AttributionStore
 from asr_shap.metrics.eta_raw import eta_raw
-from asr_shap.metrics.wer import wer
+from asr_shap.metrics.wer import batch_wer
 from asr_shap.models.wav2vec2 import wav2vec2_logits
 from asr_shap.ops.ctc import ctc_greedy_decode, ctc_ids_to_text
 
@@ -30,68 +37,143 @@ def eta_wer_sweep(
     metric_cfg: MetricConfig = MetricConfig(),
     logits_fn=None,
     vocab=WAV2VEC2_VOCAB,
+    batch: int = 8,
 ) -> List[Dict]:
     """For every stored (audio, noise, shap, text) quadruple: transcribe the
     mixed audio, compute WER against the reference text and eta_raw against
     the ITM; returns one record per sample (the scatter data of
-    nraw_vs_wer.py:160-182).
+    nraw_vs_wer.py:160-182), in store iteration order.
 
-    ``logits_fn(params, cfg, x[1, N]) -> [1, T, V]`` swaps the decoding
+    ``logits_fn(params, cfg, x[B, N]) -> [B, T, V]`` swaps the decoding
     model (e.g. ``w2v2_conformer_logits``); default is the reference's
-    Wav2Vec2. ``vocab`` swaps the id->symbol table alongside it.
+    Wav2Vec2. ``vocab`` swaps the id->symbol table alongside it. ``batch``
+    bounds samples per jitted call (the [B, N_audio, T] phi stack is the
+    memory driver at ~110 MB/sample for 6 s clips).
     """
     logits_fn = logits_fn or wav2vec2_logits
 
     # params as a jit ARGUMENT: closing over large weight trees bakes them
     # into the HLO as constants (same rationale as run_shap._sample_step)
     @jax.jit
-    def decode_step(p, x):
-        logits = logits_fn(p, model_cfg, x[None, :])
+    def bucket_step(p, mixed, clean, noise, phi):
+        logits = logits_fn(p, model_cfg, zero_mean_unit_var(mixed))
         ids, keep = ctc_greedy_decode(logits)
-        return ids[0], keep[0]
-
-    @jax.jit
-    def eta_step(clean, noise, phi):
-        return eta_raw(clean, noise, phi, metric_cfg)
-
-    records = []
-    for sample in store.iter_samples():
-        mixed = np.asarray(sample["audio"], np.float32)
-        noise = np.asarray(sample["noise"], np.float32)
-        clean = mixed - noise  # nraw_vs_wer.py:141-142
-        phi = np.asarray(sample["shap_values"], np.float32)
-
-        ids, keep = decode_step(params, zero_mean_unit_var(jnp.asarray(mixed)))
-        hyp = ctc_ids_to_text(np.asarray(ids), np.asarray(keep), vocab)
-        ref = sample["text"]
-        sample_wer = wer(ref, hyp) if ref.strip() else float("nan")
-        eta = float(eta_step(jnp.asarray(clean), jnp.asarray(noise), jnp.asarray(phi)))
-
-        key = sample["key"]
-        records.append(
-            {
-                "index": key.index,
-                "type": key.type,
-                "snr": key.snr,
-                "wer": sample_wer,
-                "eta_raw": eta,
-                "reference": ref,
-                "hypothesis": hyp,
-            }
+        etas = jax.vmap(lambda c, u, f: eta_raw(c, u, f, metric_cfg))(
+            clean, noise, phi
         )
+        return ids, keep, etas
+
+    # exact-length buckets (order preserved within a bucket); phi shape is
+    # part of the bucket key so stores mixing explainer output shapes still
+    # group into consistent executables
+    samples = list(store.iter_samples())
+    buckets: Dict[tuple, List[int]] = {}
+    for i, s in enumerate(samples):
+        buckets.setdefault(
+            (len(s["audio"]), np.asarray(s["shap_values"]).shape), []
+        ).append(i)
+
+    records: List[Optional[Dict]] = [None] * len(samples)
+    for (length, phi_shape), idxs in sorted(buckets.items()):
+        for start in range(0, len(idxs), batch):
+            group = idxs[start : start + batch]
+            mixed = np.stack(
+                [np.asarray(samples[i]["audio"], np.float32) for i in group]
+            )
+            noise = np.stack(
+                [np.asarray(samples[i]["noise"], np.float32) for i in group]
+            )
+            phi = np.stack(
+                [np.asarray(samples[i]["shap_values"], np.float32) for i in group]
+            )
+            clean = mixed - noise  # nraw_vs_wer.py:141-142
+
+            ids, keep, etas = bucket_step(
+                params, jnp.asarray(mixed), jnp.asarray(clean),
+                jnp.asarray(noise), jnp.asarray(phi),
+            )
+            ids, keep, etas = np.asarray(ids), np.asarray(keep), np.asarray(etas)
+
+            for j, i in enumerate(group):
+                sample = samples[i]
+                key = sample["key"]
+                hyp = ctc_ids_to_text(ids[j], keep[j], vocab)
+                records[i] = {
+                    "index": key.index,
+                    "type": key.type,
+                    "snr": key.snr,
+                    "wer": float("nan"),  # filled by the batch WER pass
+                    "eta_raw": float(etas[j]),
+                    "reference": sample["text"],
+                    "hypothesis": hyp,
+                }
+        logger.info(
+            "bucket len=%d phi=%s: %d samples in %d jitted call(s)",
+            length, phi_shape, len(idxs), -(-len(idxs) // batch),
+        )
+
+    done: List[Dict] = [r for r in records if r is not None]
+    wers = batch_wer([r["reference"] for r in done], [r["hypothesis"] for r in done])
+    for r, w in zip(done, wers):
+        r["wer"] = w
         logger.info(
             "sample %d %s snr=%s: wer=%.3f eta_raw=%.3f",
-            key.index, key.type, key.snr, sample_wer, eta,
+            r["index"], r["type"], r["snr"], r["wer"], r["eta_raw"],
         )
-    return records
+    return done
 
 
-def correlation(records: List[Dict]) -> Optional[float]:
-    """Pearson correlation of (wer, eta_raw) across the sweep."""
-    pts = [(r["wer"], r["eta_raw"]) for r in records if np.isfinite(r["wer"])]
+def _is_clean(record: Dict) -> bool:
+    """Clean rows carry snr=inf (as float) or "inf" (store-key string)."""
+    snr = record.get("snr")
+    if isinstance(snr, str):
+        return snr == "inf"
+    return snr is None or not np.isfinite(snr)
+
+
+def correlation(records: List[Dict], include_clean: bool = False) -> Optional[float]:
+    """Pearson correlation of (wer, eta_raw) across the sweep.
+
+    Clean rows (snr=inf) are EXCLUDED by default: with noise == 0 every
+    segment is speech-dominated, the ITM is all-true, and eta_raw == 1.0 by
+    construction (nraw_vs_wer.py:141-148 semantics: clean = mixed - noise).
+    Including those degenerate points manufactures correlation that says
+    nothing about attribution quality; report them separately instead
+    (see :func:`sweep_summary`).
+    """
+    pts = [
+        (r["wer"], r["eta_raw"])
+        for r in records
+        if np.isfinite(r["wer"]) and (include_clean or not _is_clean(r))
+    ]
     if len(pts) < 2:
         return None
     w, e = np.asarray(pts).T
     if w.std() == 0 or e.std() == 0:
         return None
     return float(np.corrcoef(w, e)[0, 1])
+
+
+def sweep_summary(records: List[Dict]) -> Dict:
+    """Aggregate view of a sweep: the noisy-row correlation (the defensible
+    statistic), the all-row correlation (the reference's, kept for
+    comparability), and per-SNR means of WER and eta_raw."""
+    noisy = [r for r in records if not _is_clean(r)]
+    by_snr: Dict[str, List[Dict]] = {}
+    for r in records:
+        by_snr.setdefault(str(r.get("snr")), []).append(r)
+    per_snr = {
+        snr: {
+            "n": len(rs),
+            "mean_wer": float(np.nanmean([x["wer"] for x in rs])),
+            "mean_eta_raw": float(np.mean([x["eta_raw"] for x in rs])),
+        }
+        for snr, rs in sorted(by_snr.items())
+    }
+    return {
+        "pearson_r_noisy": correlation(records),
+        "pearson_r_all": correlation(records, include_clean=True),
+        "n_noisy": len(noisy),
+        "n_clean": len(records) - len(noisy),
+        "per_snr": per_snr,
+    }

@@ -55,14 +55,136 @@ def synthetic_speech(key: jax.Array, n: int, sr: int = 16_000) -> np.ndarray:
     return np.asarray(sig, dtype=np.float32)
 
 
+# ----------------------------------------------------------------------
+# Text-conditional synthesis: utterance text DETERMINES the signal, so a
+# CTC model trained on this corpus genuinely transcribes (greedy decode
+# recovers the text) and the eta_raw-vs-WER study is scientifically
+# meaningful offline — the role LibriSpeech + the pretrained checkpoint
+# play for the reference (shap_calculation.py:66-68, :217-220), which zero
+# egress blocks here.
+# ----------------------------------------------------------------------
+
+# Fixed word list for seeded text generation (uppercase, wav2vec2 vocab
+# characters only; one apostrophe word exercises vocab id 27).
+SYNTH_LEXICON: tuple = (
+    "THE", "AND", "WATER", "STONE", "BLUE", "NORTH", "RIVER", "LIGHT",
+    "SOUND", "GREEN", "HOUSE", "PAPER", "WIND", "GLASS", "FIELD", "CLOUD",
+    "TRAIN", "VOICE", "NIGHT", "MORNING", "SILVER", "GARDEN", "WINTER",
+    "SUMMER", "BIRD", "HORSE", "TABLE", "CHAIR", "SMALL", "LARGE", "QUICK",
+    "ZEBRA", "JUMP", "FOX", "DON'T", "OVER", "UNDER", "SEVEN", "YELLOW",
+    "PURPLE",
+)
+
+# samples per character at 16 kHz (100 ms -> 5 encoder frames at x320,
+# comfortably above CTC's 1-frame-per-label minimum)
+CHAR_DURATION = 1_600
+
+# characters with a synthesis pattern: A-Z and ' (wav2vec2 vocab ids 5..27
+# plus letters; space/| is silence)
+_SYNTH_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ'"
+
+
+def _char_table(sr: int):
+    """Per-character synthesis parameters: fundamental on a log scale over
+    150-620 Hz (>= 2 cycles inside the conv stack's ~25 ms receptive field)
+    and a character-dependent harmonic tilt, so each symbol has a distinct
+    pitch AND timbre."""
+    idx = np.arange(len(_SYNTH_CHARS))
+    f0 = 150.0 * (620.0 / 150.0) ** (idx / (len(_SYNTH_CHARS) - 1))
+    tilt = 0.4 + 1.2 * ((idx * 7) % len(_SYNTH_CHARS)) / len(_SYNTH_CHARS)
+    return f0, tilt
+
+
+def synthesize_text(
+    key,
+    text: str,
+    sr: int = 16_000,
+    char_duration: int = CHAR_DURATION,
+    jitter: float = 0.02,
+) -> np.ndarray:
+    """Deterministic text -> waveform: each character is a ``char_duration``
+    harmonic burst (4 harmonics, char-specific f0 + spectral tilt, hann-like
+    attack/decay envelope); spaces are silence. ``key`` adds small
+    per-utterance pitch/amplitude jitter (speaker variation) so models must
+    generalize rather than memorize waveforms.
+
+    ``key`` is a jax PRNG key OR an ``np.random.Generator`` — the numpy mode
+    keeps corpus generation entirely host-side (a jax call per utterance is
+    a device round-trip on remote-execution backends, which would starve the
+    training loop's prefetch)."""
+    f0_table, tilt_table = _char_table(sr)
+    char_to_idx = {c: i for i, c in enumerate(_SYNTH_CHARS)}
+
+    ids = np.array([char_to_idx.get(c, -1) for c in text.upper()], np.int32)
+    if isinstance(key, np.random.Generator):
+        pitch_jit = 1.0 + jitter * float(key.standard_normal())
+        amp_jit = 0.85 + 0.15 * float(key.random())
+    else:
+        k1, k2 = jax.random.split(key)
+        pitch_jit = 1.0 + jitter * float(jax.random.normal(k1))
+        amp_jit = 0.85 + 0.15 * float(jax.random.uniform(k2))
+
+    t = np.arange(char_duration) / sr
+    # hann-flavored envelope with 10 ms attack/decay
+    ramp = int(0.010 * sr)
+    env = np.ones(char_duration, np.float32)
+    win = 0.5 - 0.5 * np.cos(np.pi * np.arange(ramp) / ramp)
+    env[:ramp] = win
+    env[-ramp:] = win[::-1]
+
+    voiced = ids >= 0
+    f0 = np.where(voiced, f0_table[np.maximum(ids, 0)], 0.0) * pitch_jit  # [K]
+    tilt = np.where(voiced, tilt_table[np.maximum(ids, 0)], 1.0)          # [K]
+    seg = np.zeros((len(ids), char_duration), np.float32)
+    for h in range(1, 5):
+        w = (1.0 / h ** tilt)[:, None]                                   # [K,1]
+        seg += (w * np.sin(2 * np.pi * h * f0[:, None] * t[None, :])).astype(
+            np.float32
+        )
+    seg *= env[None, :] * voiced[:, None].astype(np.float32)
+    sig = seg.reshape(-1)
+    peak = np.abs(sig).max()
+    if peak > 0:
+        sig = sig / peak * 0.5 * amp_jit
+    return sig.astype(np.float32)
+
+
+def synthetic_text(key, num_words: int) -> str:
+    """Seeded word sequence from the fixed lexicon (jax key or numpy
+    Generator, see :func:`synthesize_text`)."""
+    if isinstance(key, np.random.Generator):
+        idx = key.integers(0, len(SYNTH_LEXICON), size=num_words)
+    else:
+        idx = np.asarray(
+            jax.random.randint(key, (num_words,), 0, len(SYNTH_LEXICON))
+        )
+    return " ".join(SYNTH_LEXICON[i] for i in idx)
+
+
+def synthetic_utterance(
+    key: jax.Array, n_samples: int, sr: int = 16_000
+) -> Tuple[np.ndarray, str]:
+    """(audio, text) pair of >= ``n_samples`` samples: seeded text long
+    enough to fill the window, synthesized then zero-padded to length."""
+    kt, ka = jax.random.split(key)
+    # average word+space length in characters (lexicon mean ~5.4 + 1)
+    avg_chars = sum(len(w) for w in SYNTH_LEXICON) / len(SYNTH_LEXICON) + 1.0
+    num_words = max(1, int(np.ceil(n_samples / CHAR_DURATION / avg_chars)) + 1)
+    text = synthetic_text(kt, num_words)
+    audio = synthesize_text(ka, text)
+    if len(audio) < n_samples:
+        audio = np.pad(audio, (0, n_samples - len(audio)))
+    return audio, text
+
+
 def _synthetic_provider(cfg: TestSetConfig):
     key = jax.random.key(cfg.seed)
     i = 0
     while True:
         # clips a bit over min_length, like LibriSpeech >=100k filter
         n = cfg.min_length + (i % 4) * (cfg.sample_rate // 2)
-        audio = synthetic_speech(fold(key, 1000 + i), n, cfg.sample_rate)
-        yield audio, f"SYNTHETIC UTTERANCE NUMBER {i}"
+        audio, text = synthetic_utterance(fold(key, 1000 + i), n)
+        yield audio, text
         i += 1
 
 

@@ -160,3 +160,31 @@ def test_itm_oracle_end_to_end():
                      MetricConfig(segment_ms=20.0, percentile=80.0,
                                   itm_variant="strict"))
     assert float(score0) < float(score)
+
+
+def test_batch_wer_matches_scalar():
+    from asr_shap.metrics.wer import batch_wer, wer
+
+    refs = ["the cat sat", "hello world", "a b c d", "one two"]
+    hyps = ["the cat sat", "hello word", "a x c", "three one two four"]
+    batched = batch_wer(refs, hyps)
+    for r, h, bw in zip(refs, hyps, batched):
+        assert bw == wer(r, h)
+
+
+def test_batch_wer_empty_reference_is_nan():
+    import math
+
+    from asr_shap.metrics.wer import batch_wer
+
+    out = batch_wer(["", "ok"], ["anything", "ok"])
+    assert math.isnan(out[0]) and out[1] == 0.0
+
+
+def test_batch_wer_length_mismatch():
+    import pytest as _pytest
+
+    from asr_shap.metrics.wer import batch_wer
+
+    with _pytest.raises(ValueError):
+        batch_wer(["a"], ["a", "b"])

@@ -111,3 +111,22 @@ def test_store_async_writes(tmp_path, rng):
     assert got["text"] == "HELLO"
     # atomic writes: no temp files survive a completed flush
     assert not [p for p in tmp_path.iterdir() if ".tmp" in p.name]
+
+
+def test_npy_writer_pool_fallback_is_atomic(tmp_path, rng, monkeypatch):
+    """The non-native / >2-D fallback must keep the tmp+rename atomicity
+    contract (ADVICE r2): no partially-written target, no stray tmp files."""
+    import os
+
+    import numpy as np
+
+    from asr_shap.native import NpyWriterPool
+
+    pool = NpyWriterPool()
+    a = rng.standard_normal((2, 3, 4)).astype(np.float32)  # 3-D -> fallback
+    path = str(tmp_path / "arr.npy")
+    pool.submit(path, a)
+    np.testing.assert_array_equal(np.load(path), a)
+    leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+    assert leftovers == []
+    pool.close()

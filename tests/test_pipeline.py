@@ -303,3 +303,82 @@ def test_pipeline_conformer_family(tiny_testset, tmp_path):
         phi = res[0]["shap_values"]
         assert phi.shape == (n, ccfg.frames_for_samples(n))
         assert np.isfinite(phi).all()
+
+
+def test_kmeans_background_plumbed(tiny_testset, tiny_config, tmp_path):
+    """ExplainerConfig.kmeans_background summarizes the background before
+    explaining (shap.kmeans, w2v2conformer.py:134-137) — for BOTH methods.
+    Pinned by behavior: k == num_background is the identity (kmeans returns
+    the data when k >= M), while k < num_background changes the background
+    set and therefore the deterministic DeepSHAP attribution."""
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+
+    def run(sub, **ekw):
+        pcfg = PipelineConfig(
+            model=tiny_config,
+            explainer=ExplainerConfig(method="deep", aggregation="mean",
+                                      remat=False, num_background=3, **ekw),
+            testset=cfg, data_dir=str(tmp_path / sub),
+        )
+        return run_shap_pipeline(params, pcfg, ts[:1],
+                                 AttributionStore(str(tmp_path / sub)))
+
+    base = run("plain")[0]["shap_values"]
+    identity = run("k3", kmeans_background=3)[0]["shap_values"]
+    np.testing.assert_array_equal(base, identity)
+    summarized = run("k2", kmeans_background=2)[0]["shap_values"]
+    assert not np.array_equal(base, summarized)
+    assert np.isfinite(summarized).all()
+
+
+def test_sweep_batched_matches_batch1(tiny_testset, tiny_config, tmp_path):
+    """The length-bucketed batched sweep must reproduce the one-sample-per-
+    call results (same decode, same eta_raw) for every record field."""
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    pcfg = PipelineConfig(
+        model=tiny_config,
+        explainer=ExplainerConfig(nsamples=2, draw_chunk=2, num_background=2),
+        testset=cfg, data_dir=str(tmp_path),
+    )
+    store = AttributionStore(str(tmp_path))
+    run_shap_pipeline(params, pcfg, ts, store)
+
+    mcfg = MetricConfig(segment_ms=20.0)
+    serial = eta_wer_sweep(params, tiny_config, store, mcfg, batch=1)
+    batched = eta_wer_sweep(params, tiny_config, store, mcfg, batch=8)
+    assert len(serial) == len(batched) == 2
+    for a, b in zip(serial, batched):
+        assert a["hypothesis"] == b["hypothesis"]
+        assert a["wer"] == b["wer"]
+        np.testing.assert_allclose(a["eta_raw"], b["eta_raw"], rtol=1e-5)
+
+
+def test_correlation_excludes_degenerate_clean_rows():
+    """Clean rows force eta_raw == 1.0 by construction (noise == 0 makes the
+    ITM all-true); the headline correlation must exclude them
+    (VERDICT r2 #9)."""
+    from asr_shap.pipeline.sweep import correlation, sweep_summary
+
+    noisy = [
+        {"snr": "5", "wer": 0.2, "eta_raw": 0.9},
+        {"snr": "2", "wer": 0.5, "eta_raw": 0.6},
+        {"snr": "1", "wer": 0.8, "eta_raw": 0.4},
+    ]
+    clean = [
+        {"snr": "inf", "wer": 0.1, "eta_raw": 1.0},
+        {"snr": "inf", "wer": 0.9, "eta_raw": 1.0},  # would pollute r
+    ]
+    r_noisy = correlation(noisy + clean)
+    r_all = correlation(noisy + clean, include_clean=True)
+    assert r_noisy == correlation(noisy)  # clean rows had no effect
+    assert r_all != r_noisy
+
+    s = sweep_summary(noisy + clean)
+    assert s["n_clean"] == 2 and s["n_noisy"] == 3
+    assert s["pearson_r_noisy"] == r_noisy
+    assert s["per_snr"]["inf"]["mean_eta_raw"] == 1.0
+    # float snr=inf (pre-store records) also counts as clean
+    assert correlation([{"snr": float("inf"), "wer": 0.1, "eta_raw": 1.0}]
+                       + noisy) == r_noisy

@@ -249,3 +249,22 @@ def test_train_step_bf16_compute(tiny_config, rng):
     assert losses[-1] < losses[0]
     # master params remain float32
     assert params["lm_head"]["kernel"].dtype == jnp.float32
+
+
+def test_background_iterator_starts_eagerly():
+    """Production begins at construction, not at the first next() — the
+    'depth steps ahead' prefetch contract (ADVICE r2)."""
+    import threading
+    import time
+
+    from asr_shap.pipeline.prefetch import background_iterator
+
+    produced = threading.Event()
+
+    def gen():
+        produced.set()
+        yield 1
+
+    it = background_iterator(gen(), maxsize=2)
+    assert produced.wait(timeout=5.0), "producer did not start before next()"
+    assert list(it) == [1]
