@@ -3,9 +3,10 @@
 Why this kernel exists: the explainer batches T_frames cotangents through the
 attention backward (one batched VJP per draw, explain/expected_gradients.py),
 so the XLA path would materialize softmax probabilities of shape
-[draws*T, H, T, T] in HBM — gigabytes per layer at reference audio lengths.
-This kernel keeps scores/probabilities in VMEM in both directions; HBM only
-sees q/k/v/o-sized tensors plus a per-row logsumexp residual.
+[draws*T, H, T, T] in HBM — gigabytes per layer at reference audio lengths
+(runtime_analysis.py's 80,000-sample row is T~2,500 frames). This kernel
+keeps scores/probabilities in VMEM in both directions; HBM only sees
+q/k/v/o-sized tensors plus a per-row logsumexp residual.
 
 Structure (seq lengths here are ASR frame counts, ~50-2500):
   forward : grid (B*H, T/bq) — one q-block against full K/V in VMEM,
@@ -13,7 +14,13 @@ Structure (seq lengths here are ASR frame counts, ~50-2500):
   backward: two kernels — dq over q-blocks, dk/dv over kv-blocks — the
             standard flash backward with score recomputation from residuals
 
-Supports the additive bias form the models use ([B, 1, 1, T] padding mask).
+Bias support (additive, pre-softmax):
+  * [B, 1, 1, T] padding masks — treated as constants (zero cotangent);
+  * [B, H, T, T] full score biases — the Transformer-XL rel-pos scores of
+    the Wav2Vec2-Conformer/NeMo families (ops/attention.py::rel_shift);
+    differentiable: the dq pass also emits d(bias) = dS, which the rel-pos
+    layers backprop into the position projections.
+
 Runs in interpreter mode automatically off-TPU (CPU tests), so the same code
 path is exercised everywhere.
 """
@@ -25,7 +32,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -57,7 +63,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale, t_actua
         preferred_element_type=jnp.float32,
     )                                          # [bq, T]
     if bias_ref is not None:
-        s = s + bias_ref[0].astype(jnp.float32)  # [1, T] broadcast
+        # [1, T] (mask row) or [bq, T] (full bias block) — both broadcast
+        s = s + bias_ref[0].astype(jnp.float32)
     # mask padded kv columns
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < t_actual, s, _NEG_INF)
@@ -73,8 +80,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale, t_actua
     lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)  # [bq, 1]
 
 
-def _fwd(q3, k3, v3, bias_row, scale, block_q, interpret, t_actual):
-    """q3/k3/v3: [BH, Tpad, D], bias_row: [BH, 1, Tpad] or None.
+def _bias_spec_fwd(bias_kind: str, block_q: int, t_pad: int):
+    """BlockSpec of the bias operand for q-blocked kernels."""
+    if bias_kind == "mask":
+        return pl.BlockSpec((1, 1, t_pad), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, block_q, t_pad), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd(q3, k3, v3, bias3, bias_kind, scale, block_q, interpret, t_actual):
+    """q3/k3/v3: [BH, Tpad, D]; bias3: None, [BH, 1, Tpad] (mask) or
+    [BH, Tpad, Tpad] (full).
 
     Mosaic requires the last two block dims to be (divisible by 8, divisible
     by 128) or equal to the array dims — hence lse/bias travel as 3D
@@ -88,11 +105,9 @@ def _fwd(q3, k3, v3, bias_row, scale, block_q, interpret, t_actual):
         pl.BlockSpec((1, t_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [q3, k3, v3]
-    if bias_row is not None:
-        in_specs.append(
-            pl.BlockSpec((1, 1, t_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
-        )
-        args.append(bias_row)
+    if bias3 is not None:
+        in_specs.append(_bias_spec_fwd(bias_kind, block_q, t_pad))
+        args.append(bias3)
         kernel = _fwd_kernel
     else:
         kernel = lambda q, k, v, o, lse, **kw: _fwd_kernel(q, k, v, None, o, lse, **kw)
@@ -116,7 +131,7 @@ def _fwd(q3, k3, v3, bias_row, scale, block_q, interpret, t_actual):
 # ---------------------------------------------------------------- backward
 
 def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, dd_ref, dq_ref,
-               *, scale, t_actual):
+               dbias_ref, *, scale, t_actual):
     q = q_ref[0].astype(jnp.float32)      # [bq, D]
     k = k_ref[0].astype(jnp.float32)      # [T, D]
     v = v_ref[0].astype(jnp.float32)      # [T, D]
@@ -133,10 +148,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, dd_ref, dq_ref,
     p = jnp.exp(s - lse)                  # [bq, T]
     dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - dd)
+    ds = p * (dp - dd)                    # [bq, T] == d(bias) for this block
     dq = scale * jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dq_ref[0] = dq.astype(dq_ref.dtype)
+    if dbias_ref is not None:
+        dbias_ref[0] = ds.astype(dbias_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, dd_ref,
@@ -152,7 +169,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, dd_ref,
     st = jax.lax.dot_general(k, q * scale, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     if bias_ref is not None:
-        st = st + bias_ref[0].astype(jnp.float32)  # [bk, 1] column layout
+        # [bk, 1] column (mask) or [bk, Tq] transposed full-bias block
+        st = st + bias_ref[0].astype(jnp.float32)
     row_q = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
     st = jnp.where(row_q < t_actual, st, _NEG_INF)
     pt = jnp.exp(st - lse)                # [bk, Tq]
@@ -167,8 +185,17 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, lse_ref, dd_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _bias_kind(bias_orig) -> str:
+    if bias_orig is None:
+        return "none"
+    return "mask" if bias_orig.shape[1:3] == (1, 1) else "full"
+
+
 def _bwd(block_q, interpret, scale, res, g4):
-    q3, k3, v3, bias_row, bias_orig, o3, lse_col = res
+    # bias_kind is recomputed from the (static) bias shape — residuals must
+    # be JAX types, so the string can't ride along
+    q3, k3, v3, bias3, bias_orig, o3, lse_col = res
+    bias_kind = _bias_kind(bias_orig)
     bh, t_pad, d = q3.shape
     t_actual = g4.shape[2]
     g3 = _pad_to(g4.reshape(-1, t_actual, d), t_pad, 1)
@@ -177,7 +204,6 @@ def _bwd(block_q, interpret, scale, res, g4):
     dd_col = dd[:, :, None]                      # [BH, Tpad, 1] for dq blocks
     dd_row = dd[:, None, :]                      # [BH, 1, Tpad] for dkv
     lse_row = lse_col[:, :, 0][:, None, :]       # [BH, 1, Tpad]
-    bias_col = None if bias_row is None else bias_row[:, 0, :][:, :, None]
 
     nq = t_pad // block_q
     common_specs = dict(memory_space=pltpu.VMEM)
@@ -185,34 +211,45 @@ def _bwd(block_q, interpret, scale, res, g4):
     def blk(shape, imap):
         return pl.BlockSpec(shape, imap, **common_specs)
 
-    # dq: blocked over q
+    # dq: blocked over q (also emits d(bias) when the bias is a full score
+    # matrix — the rel-pos layers need it)
     in_specs = [
         blk((1, block_q, d), lambda b, i: (b, i, 0)),   # q
         blk((1, t_pad, d), lambda b, i: (b, 0, 0)),     # k
         blk((1, t_pad, d), lambda b, i: (b, 0, 0)),     # v
     ]
     args = [q3, k3, v3]
-    if bias_row is not None:
-        in_specs.append(blk((1, 1, t_pad), lambda b, i: (b, 0, 0)))
-        args.append(bias_row)
+    want_dbias = bias_kind == "full"
+    if bias3 is not None:
+        in_specs.append(_bias_spec_fwd(bias_kind, block_q, t_pad))
+        args.append(bias3)
         dq_kernel = _dq_kernel
     else:
-        dq_kernel = lambda q, k, v, g, l, dd_, dq, **kw: _dq_kernel(
-            q, k, v, None, g, l, dd_, dq, **kw
+        dq_kernel = lambda q, k, v, g, l, dd_, dq, db, **kw: _dq_kernel(
+            q, k, v, None, g, l, dd_, dq, db, **kw
         )
+    if not want_dbias:
+        base = dq_kernel
+        dq_kernel = lambda *refs, **kw: base(*refs, None, **kw)
     in_specs += [
         blk((1, block_q, d), lambda b, i: (b, i, 0)),   # g
         blk((1, block_q, 1), lambda b, i: (b, i, 0)),   # lse (column)
         blk((1, block_q, 1), lambda b, i: (b, i, 0)),   # dd (column)
     ]
-    dq3 = pl.pallas_call(
+    out_specs = [blk((1, block_q, d), lambda b, i: (b, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype)]
+    if want_dbias:
+        out_specs.append(blk((1, block_q, t_pad), lambda b, i: (b, i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((bh, t_pad, t_pad), jnp.float32))
+    outs = pl.pallas_call(
         functools.partial(dq_kernel, scale=scale, t_actual=t_actual),
         grid=(bh, nq),
         in_specs=in_specs,
-        out_specs=blk((1, block_q, d), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q3.dtype),
+        out_specs=tuple(out_specs) if want_dbias else out_specs[0],
+        out_shape=tuple(out_shape) if want_dbias else out_shape[0],
         interpret=interpret,
     )(*args, g3, lse_col, dd_col)
+    dq3, dbias3 = (outs if want_dbias else (outs, None))
 
     # dk/dv: blocked over kv
     in_specs2 = [
@@ -221,9 +258,14 @@ def _bwd(block_q, interpret, scale, res, g4):
         blk((1, block_q, d), lambda b, i: (b, i, 0)),   # v
     ]
     args2 = [q3, k3, v3]
-    if bias_row is not None:
-        in_specs2.append(blk((1, block_q, 1), lambda b, i: (b, i, 0)))
-        args2.append(bias_col)
+    if bias3 is not None:
+        if bias_kind == "mask":
+            bias_t = bias3[:, 0, :][:, :, None]          # [BH, Tpad, 1] column
+            in_specs2.append(blk((1, block_q, 1), lambda b, i: (b, i, 0)))
+        else:
+            bias_t = jnp.swapaxes(bias3, 1, 2)           # [BH, Tk, Tq]
+            in_specs2.append(blk((1, block_q, t_pad), lambda b, i: (b, i, 0)))
+        args2.append(bias_t)
         dkv_kernel = _dkv_kernel
     else:
         dkv_kernel = lambda q, k, v, g, l, dd_, dk, dv, **kw: _dkv_kernel(
@@ -255,8 +297,18 @@ def _bwd(block_q, interpret, scale, res, g4):
     def unshape(x3):
         return x3[:, :t_actual].reshape(b, h, t_actual, d)
 
-    # bias is a constant mask; its cotangent must still match its structure
-    dbias = None if bias_orig is None else jnp.zeros_like(bias_orig)
+    if bias_orig is None:
+        dbias = None
+    elif bias_kind == "mask":
+        # masks are constants; the cotangent must still match their structure
+        dbias = jnp.zeros_like(bias_orig)
+    else:
+        dbias = dbias3[:, :t_actual, :t_actual].reshape(b, h, t_actual, t_actual)
+        # undo broadcasting: the cotangent must match bias_orig's exact shape
+        for ax, (bs, fs) in enumerate(zip(bias_orig.shape, dbias.shape)):
+            if bs == 1 and fs != 1:
+                dbias = dbias.sum(axis=ax, keepdims=True)
+        dbias = dbias.astype(bias_orig.dtype)
     return unshape(dq3), unshape(dk3), unshape(dv3), dbias
 
 
@@ -277,17 +329,26 @@ def _flash_fwd(q, k, v, bias, block_q, interpret):
         return _pad_to(x.reshape(b * h, t, d), t_pad, 1)
 
     q3, k3, v3 = flat(q), flat(k), flat(v)
-    bias_row = None
-    if bias is not None:
+    bias_kind = _bias_kind(bias)
+    bias3 = None
+    if bias is not None and bias.shape[1:3] == (1, 1):
         # [B, 1, 1, T] additive mask -> [BH, 1, Tpad] row layout (pad -inf)
+        bias_kind = "mask"
         bias2 = jnp.broadcast_to(bias[:, 0, 0, :], (b, t))
         bias2 = jnp.repeat(bias2, h, axis=0)
         bias2 = jnp.pad(bias2, ((0, 0), (0, t_pad - t)), constant_values=_NEG_INF)
-        bias_row = bias2.astype(jnp.float32)[:, None, :]
+        bias3 = bias2.astype(jnp.float32)[:, None, :]
+    elif bias is not None:
+        # [B, H, T, T] full score bias (rel-pos) -> [BH, Tpad, Tpad];
+        # padded key columns are masked in-kernel, so pad value is moot
+        bias_kind = "full"
+        bias4 = jnp.broadcast_to(bias, (b, h, t, t)).reshape(b * h, t, t)
+        bias3 = _pad_to(_pad_to(bias4, t_pad, 1), t_pad, 2).astype(jnp.float32)
 
-    o3, lse_col = _fwd(q3, k3, v3, bias_row, scale, block_q, interpret, t)
+    o3, lse_col = _fwd(q3, k3, v3, bias3, bias_kind, scale, block_q,
+                       interpret, t)
     out = o3[:, :t].reshape(b, h, t, d)
-    return out, (q3, k3, v3, bias_row, bias, o3, lse_col)
+    return out, (q3, k3, v3, bias3, bias, o3, lse_col)
 
 
 def _flash_bwd(block_q, interpret, res, g):
@@ -314,7 +375,8 @@ def flash_attention(
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused attention over [B, H, T, D]; bias is an optional additive
-    [B, 1, 1, T] mask. Differentiable (flash backward)."""
+    [B, 1, 1, T] mask (constant) or [B, H, T, T] score bias
+    (differentiable). Differentiable via the flash backward."""
     if interpret is None:
         interpret = _use_interpret()
     block_q = min(block_q, max(8, 1 << (q.shape[2] - 1).bit_length()))

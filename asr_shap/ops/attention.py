@@ -50,6 +50,14 @@ def _xla_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+# Length threshold for impl="auto": below it XLA's fused attention wins at
+# ASR frame counts (measured: 1,542 vs 969 passes/s at T=149,
+# artifacts/kernel_decision.md); above it the flash kernel's VMEM residency
+# wins because XLA materializes [batch, H, T, T] probabilities in HBM both
+# ways (measured at T=2,499, artifacts/kernel_decision.md).
+AUTO_PALLAS_MIN_T = 1024
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -57,12 +65,15 @@ def multi_head_attention(
     bias: jnp.ndarray | None = None,
     impl: str = "xla",
 ) -> jnp.ndarray:
-    """Scaled dot-product attention over [B, H, T, D] tensors."""
+    """Scaled dot-product attention over [B, H, T, D] tensors.
+
+    impl: "xla" (reference path), "pallas" (flash kernel; supports both
+    [B, 1, 1, T] masks and differentiable [B, H, T, T] score biases), or
+    "auto" (length-based dispatch: pallas for T >= AUTO_PALLAS_MIN_T).
+    """
+    if impl == "auto":
+        impl = "pallas" if q.shape[2] >= AUTO_PALLAS_MIN_T else "xla"
     if impl == "pallas":
-        if bias is not None and (bias.ndim != 4 or bias.shape[1:3] != (1, 1)):
-            # The flash kernel fuses only rank-1 ([B, 1, 1, T]) mask biases;
-            # full [B, H, T, T] biases (rel-pos scores) take the XLA path.
-            return _xla_attention(q, k, v, bias)
         from asr_shap.kernels.flash_attention import flash_attention
 
         return flash_attention(q, k, v, bias)

@@ -8,9 +8,13 @@ The reference explains test samples strictly serially
 (SURVEY.md section 2.3 "the perturbation loop is the parallelism
 opportunity"): samples are grouped into exact-length buckets — the clean
 clip and its SNR variants always share a length, so buckets of >= 4 come
-for free — and the per-sample computation is vmapped over fixed-size groups
-of ``PipelineConfig.sample_batch`` samples (fixed so one executable per
-audio length serves every group, including on resume). Exact-length
+for free — and the per-sample computation runs as a ``lax.scan`` over
+fixed-size groups of ``PipelineConfig.sample_batch`` samples (fixed so one
+executable per audio length serves every group, including on resume; scan
+rather than vmap so grouped executables stay single-sample sized in both
+program and backward memory — full-model groups compile on a 16 GB chip).
+If a grouped executable still fails to build, the run degrades to
+sample_batch=1 with a warning instead of crashing. Exact-length
 bucketing (no padding) keeps per-sample semantics identical to the serial
 path for every model variant — including the group-norm wav2vec2-base whose
 statistics couple across (padded) time — with only XLA fusion-order float
@@ -139,14 +143,36 @@ def _group_size(cfg: PipelineConfig, mesh) -> int:
     return 1
 
 
+def _scan_samples(step):
+    """(params, xs [g, N], keys [g]) -> stacked per-sample results via
+    ``lax.scan``. One traced body regardless of g, so the compiled program
+    stays single-sample sized and — unlike vmap over samples — the live
+    backward-pass memory does NOT multiply by g (the full wav2vec2's
+    remat backward at T_frames batch already fills most of a v5e's HBM;
+    vmapping samples over it is what broke compilation on the bench chip,
+    artifacts/bench_sweep_tpu.jsonl sample_bucket probes). Only the phi
+    accumulators stack, at [g, N, T] f32."""
+
+    def run(params, xs, keys):
+        def body(carry, xk):
+            x, k = xk
+            return carry, step(params, x, k)
+
+        _, outs = jax.lax.scan(body, None, (xs, keys))
+        return outs
+
+    return run
+
+
 def _build_group_step(cfg: PipelineConfig, mesh, g: int):
     """jitted (params, xs [g, N], keys [g]) -> per-sample results.
 
     * g == 1, mesh given  -> the DRAW axis shards over the mesh (the
       single-sample multi-chip speedup, expected_gradients_sharded);
     * g > 1,  mesh given  -> the SAMPLE axis shards over the mesh
-      (throughput mode; g is a multiple of the axis size);
-    * no mesh             -> plain vmap over the g samples.
+      (throughput mode; g is a multiple of the axis size; each device
+      scans its local samples);
+    * no mesh             -> lax.scan over the g samples in one executable.
     """
     if mesh is not None and g == 1:
         step = _sample_step(cfg, mesh)
@@ -154,12 +180,12 @@ def _build_group_step(cfg: PipelineConfig, mesh, g: int):
             lambda a: a[None], step(p, xs[0], ks[0])))
     step = _sample_step(cfg)
     if mesh is None:
-        return jax.jit(jax.vmap(step, in_axes=(None, 0, 0)))
+        return jax.jit(_scan_samples(step))
 
     axis = mesh.axis_names[0]
 
     def sharded(params, xs, keys):
-        local = jax.vmap(step, in_axes=(None, 0, 0))
+        local = _scan_samples(step)
         return shard_map(
             lambda p, x_, k_: local(p, x_, k_),
             mesh=mesh,
@@ -206,8 +232,9 @@ def run_shap_pipeline(
     results = []
     for length in sorted(buckets):
         bucket = buckets[length]
-        for start in range(0, len(bucket), g):
-            idxs = bucket[start : start + g]
+        groups = [bucket[s : s + g] for s in range(0, len(bucket), g)]
+        while groups:
+            idxs = groups.pop(0)
             xs = jnp.stack(
                 [zero_mean_unit_var(jnp.asarray(test_set[i]["audio"])) for i in idxs]
             )
@@ -219,8 +246,24 @@ def run_shap_pipeline(
                 keys = jnp.concatenate([keys, jnp.repeat(keys[:1], pad, axis=0)])
 
             t0 = time.perf_counter()
-            phis, confs, ids, keeps = step(params, xs, keys)
-            phis = np.asarray(phis)  # device->host once per group
+            try:
+                phis, confs, ids, keeps = step(params, xs, keys)
+                phis = np.asarray(phis)  # device->host once per group
+            except Exception as e:
+                if g == 1:
+                    raise
+                # compile services / HBM limits can reject the grouped
+                # executable at full model size — degrade to one sample per
+                # call instead of crashing the run (VERDICT r2 weak #2)
+                logger.warning(
+                    "sample group of %d failed (%s: %.200s); falling back to "
+                    "sample_batch=1 for the rest of the run",
+                    g, type(e).__name__, e,
+                )
+                groups = [[i] for grp in [idxs] + groups for i in grp]
+                g = 1
+                step = _build_group_step(cfg, mesh, g)
+                continue
             wall = time.perf_counter() - t0
             confs, ids, keeps = np.asarray(confs), np.asarray(ids), np.asarray(keeps)
 

@@ -113,3 +113,62 @@ def test_model_forward_with_pallas_attention(rng, tiny_config):
     cfg_p = dataclasses.replace(tiny_config, attention_impl="pallas")
     out = wav2vec2_logits(params, cfg_p, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+
+def test_forward_full_bias_matches_xla(rng):
+    """[B, H, T, T] score biases (rel-pos) run inside the kernel."""
+    b, h, t, d = 2, 2, 70, 32
+    q, k, v = _rand_qkv(rng, b, h, t, d)
+    bias = jnp.asarray(rng.standard_normal((b, h, t, t)).astype(np.float32))
+    ref = _xla_attention(q, k, v, bias)
+    out = flash_attention(q, k, v, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_backward_full_bias_matches_xla(rng):
+    """Full-bias gradients — including d(bias), which the rel-pos layers
+    backprop into the position projections — match XLA."""
+    b, h, t, d = 1, 2, 50, 32
+    q, k, v = _rand_qkv(rng, b, h, t, d)
+    bias = jnp.asarray(rng.standard_normal((b, h, t, t)).astype(np.float32))
+
+    def loss(attn, q, k, v, bias):
+        return jnp.sum(jnp.sin(attn(q, k, v, bias)))
+
+    g1 = jax.grad(lambda *a: loss(
+        lambda q, k, v, b_: flash_attention(q, k, v, b_, interpret=True), *a),
+        argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(lambda *a: loss(_xla_attention, *a),
+                  argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_full_bias_broadcast_cotangent_shape(rng):
+    """A broadcastable bias (leading 1s) must receive a cotangent of ITS
+    shape (summed over broadcast dims), like any jnp broadcast."""
+    b, h, t, d = 2, 2, 40, 32
+    q, k, v = _rand_qkv(rng, b, h, t, d)
+    bias = jnp.asarray(rng.standard_normal((1, h, t, t)).astype(np.float32))
+
+    g1 = jax.grad(
+        lambda b_: jnp.sum(flash_attention(q, k, v, b_, interpret=True) ** 2)
+    )(bias)
+    g2 = jax.grad(lambda b_: jnp.sum(_xla_attention(q, k, v, b_) ** 2))(bias)
+    assert g1.shape == bias.shape
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_auto_dispatch_threshold(rng):
+    """impl="auto" routes short sequences to XLA and long ones to the
+    kernel; both produce the XLA result."""
+    from asr_shap.ops.attention import AUTO_PALLAS_MIN_T, multi_head_attention
+
+    q, k, v = _rand_qkv(rng, 1, 1, 48, 32)
+    out = multi_head_attention(q, k, v, None, impl="auto")
+    ref = multi_head_attention(q, k, v, None, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    assert AUTO_PALLAS_MIN_T > 256  # ASR frame counts stay on XLA

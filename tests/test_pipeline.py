@@ -382,3 +382,39 @@ def test_correlation_excludes_degenerate_clean_rows():
     # float snr=inf (pre-store records) also counts as clean
     assert correlation([{"snr": float("inf"), "wer": 0.1, "eta_raw": 1.0}]
                        + noisy) == r_noisy
+
+
+def test_group_compile_failure_falls_back_to_serial(
+    tiny_testset, tiny_config, tmp_path, monkeypatch
+):
+    """If the grouped executable fails (compile service / HBM limits on the
+    bench chip), the pipeline degrades to sample_batch=1 and still completes
+    every sample (VERDICT r2 weak #2)."""
+    from asr_shap.pipeline import run_shap as rs
+
+    real_builder = rs._build_group_step
+    calls = {"failed": 0}
+
+    def flaky_builder(cfg, mesh, g):
+        if g > 1:
+            def boom(*a):
+                calls["failed"] += 1
+                raise RuntimeError("remote_compile: HTTP 500 (simulated)")
+
+            return boom
+        return real_builder(cfg, mesh, g)
+
+    monkeypatch.setattr(rs, "_build_group_step", flaky_builder)
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    pcfg = PipelineConfig(
+        model=tiny_config,
+        explainer=ExplainerConfig(nsamples=2, draw_chunk=2, num_background=2),
+        testset=cfg, data_dir=str(tmp_path), sample_batch=4,
+    )
+    results = rs.run_shap_pipeline(params, pcfg, ts,
+                                   AttributionStore(str(tmp_path)))
+    assert calls["failed"] == 1          # grouped call failed once
+    assert len(results) == len(ts)       # ...and every sample still computed
+    for r in results:
+        assert np.isfinite(r["shap_values"]).all()

@@ -195,10 +195,11 @@ def test_relpos_padded_batch_matches_torch_mask(relpos_pair, rng):
     np.testing.assert_allclose(ours[1, :t_b], ref[1, :t_b], rtol=1e-3, atol=1e-4)
 
 
-def test_pallas_impl_falls_back_for_relpos_bias(relpos_pair, rng):
-    """attention_impl="pallas" with the rel-pos [B,H,T,T] bias must route to
-    the XLA path (the flash kernel only fuses rank-1 masks) and produce the
-    same logits as the xla impl."""
+def test_pallas_impl_handles_relpos_bias(relpos_pair, rng):
+    """attention_impl="pallas" runs the rel-pos [B,H,T,T] score bias through
+    the flash kernel itself (full-bias support; round 2 silently fell back
+    to XLA here) and must match the xla impl — forward AND input-gradient,
+    since the explainer differentiates through the rel-pos projections."""
     import dataclasses
 
     cfg, _, params = relpos_pair
@@ -206,4 +207,13 @@ def test_pallas_impl_falls_back_for_relpos_bias(relpos_pair, rng):
     ref = np.asarray(w2v2_conformer_logits(params, cfg, x))
     cfg_p = dataclasses.replace(cfg, attention_impl="pallas")
     out = np.asarray(w2v2_conformer_logits(params, cfg_p, x))
-    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def head(c):
+        return lambda xx: jnp.sum(
+            jnp.max(w2v2_conformer_logits(params, c, xx[None]), axis=-1)
+        )
+
+    g_ref = np.asarray(jax.grad(head(cfg))(x[0]))
+    g_pal = np.asarray(jax.grad(head(cfg_p))(x[0]))
+    np.testing.assert_allclose(g_pal, g_ref, rtol=5e-3, atol=1e-5)
