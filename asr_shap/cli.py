@@ -37,6 +37,15 @@ def _add_model_args(ap):
     ap.add_argument("--small", action="store_true",
                     help="small architecture with the full 7-layer conv "
                          "stack (x320 downsample, realistic frame counts)")
+    ap.add_argument("--hidden", type=int, default=0,
+                    help="override encoder hidden size of --tiny/--small")
+    ap.add_argument("--layers", type=int, default=0,
+                    help="override encoder layer count of --tiny/--small")
+    ap.add_argument("--heads", type=int, default=0,
+                    help="override attention head count of --tiny/--small")
+    ap.add_argument("--conv-channels", type=int, default=0,
+                    help="override conv feature-encoder channels of "
+                         "--tiny/--small")
 
 
 def _load_model(args):
@@ -49,13 +58,24 @@ def _load_model(args):
         hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
         intermediate_size=128, feat_proj_dim=32,
     )
+    if getattr(args, "hidden", 0):
+        small_kw["hidden_size"] = args.hidden
+        small_kw["intermediate_size"] = 2 * args.hidden
+    if getattr(args, "layers", 0):
+        small_kw["num_hidden_layers"] = args.layers
+    if getattr(args, "heads", 0):
+        small_kw["num_attention_heads"] = args.heads
+    cc = getattr(args, "conv_channels", 0) or 32
+    # feat_proj_dim is the conv-encoder output width (the projection maps
+    # conv_dim[-1] -> hidden), so it must track the conv channels
+    small_kw["feat_proj_dim"] = cc
     if args.tiny:
-        kw = dict(small_kw, conv_dim=(32, 32), conv_stride=(5, 2),
+        kw = dict(small_kw, conv_dim=(cc, cc), conv_stride=(5, 2),
                   conv_kernel=(10, 3))
     elif getattr(args, "small", False):
         # full x320 conv stack (realistic T_frames ~= N/320, which bounds
         # the Jacobian row count) with a small encoder
-        kw = dict(small_kw, conv_dim=(32,) * 7)
+        kw = dict(small_kw, conv_dim=(cc,) * 7)
     else:
         kw = None
 
@@ -77,9 +97,12 @@ def _load_model(args):
 
         return load_pretrained(args.hf)
     if args.params:
-        from asr_shap.core.params_io import load_params
+        from asr_shap.core.params_io import load_config, load_params
 
-        return load_params(args.params), cfg
+        # the archive's embedded architecture (when present) beats preset
+        # flags — the weights know what they are
+        embedded = load_config(args.params)
+        return load_params(args.params), embedded or cfg
     if not args.random_init:
         logging.warning(
             "no --params/--hf given; falling back to random init "
@@ -111,6 +134,7 @@ def cmd_run_shap(args):
         model=cfg,
         explainer=ExplainerConfig(nsamples=args.nsamples,
                                   draw_chunk=args.draw_chunk,
+                                  output_chunk=args.output_chunk,
                                   method=args.method,
                                   num_background=args.num_background,
                                   kmeans_background=args.kmeans),
@@ -260,7 +284,7 @@ def cmd_train(args):
         batches_per_epoch=args.batches_per_epoch,
         target_wer=args.target_wer, seed=args.seed,
     )
-    save_params(args.out, params)
+    save_params(args.out, params, config=cfg)
     summary["params_path"] = args.out
     print(json.dumps(summary))
 
@@ -296,6 +320,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-length", type=int, default=0)
     p.add_argument("--nsamples", type=int, default=200)
     p.add_argument("--draw-chunk", type=int, default=1)
+    p.add_argument("--output-chunk", type=int, default=0,
+                   help="cotangent rows per backward batch (0 = all "
+                        "T_frames at once; bound memory on long clips)")
     p.add_argument("--sample-batch", type=int, default=4,
                    help="samples explained per jitted call (1 = serial)")
     p.add_argument("--async-writes", action="store_true",

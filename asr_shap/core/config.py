@@ -62,8 +62,10 @@ class Wav2Vec2Config:
     # speed, which greedy argmax decoding tolerates.
     matmul_precision: str = "highest"
 
-    # Kernel selection: "xla" (portable, CPU-testable) or "pallas"
-    # (fused flash attention on TPU).
+    # Kernel selection: "xla" (portable, CPU-testable), "pallas" (fused
+    # flash attention, incl. full rel-pos biases), or "auto" (length-based
+    # dispatch: pallas at T >= ops.attention.AUTO_PALLAS_MIN_T, where XLA's
+    # materialized [batch, H, T, T] probabilities become the bottleneck).
     attention_impl: str = "xla"
 
     @property

@@ -1,16 +1,21 @@
 """Flat .npz params persistence — a light-weight alternative to orbax for
 shipping converted checkpoints (the HF->JAX conversion runs once; the npz is
-what TPU boxes load)."""
+what TPU boxes load). The archive optionally carries its architecture config
+(like an HF config.json riding with the weights), so ``load_params`` can
+reconstruct the matching model without the caller guessing flags."""
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 _SEP = "::"
+_CONFIG_KEY = "__asr_shap_config__"
 
 
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
@@ -26,14 +31,43 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     return out
 
 
-def save_params(path: str, params: Any) -> None:
-    np.savez(path, **_flatten(params))
+def save_params(path: str, params: Any, config: Any = None) -> None:
+    """``config``: an asr_shap config dataclass to embed (class name +
+    fields as JSON), or None for a weights-only archive."""
+    flat = _flatten(params)
+    if config is not None:
+        payload = {
+            "class": type(config).__name__,
+            "fields": dataclasses.asdict(config),
+        }
+        flat[_CONFIG_KEY] = np.frombuffer(
+            json.dumps(payload).encode(), dtype=np.uint8
+        )
+    np.savez(path, **flat)
+
+
+def load_config(path: str) -> Optional[Any]:
+    """The embedded config dataclass, or None for weights-only archives."""
+    data = np.load(path)
+    if _CONFIG_KEY not in data.files:
+        return None
+    payload = json.loads(bytes(data[_CONFIG_KEY]).decode())
+    from asr_shap.core import config as config_mod
+
+    cls = getattr(config_mod, payload["class"])
+    fields = {
+        k: (tuple(v) if isinstance(v, list) else v)
+        for k, v in payload["fields"].items()
+    }
+    return cls(**fields)
 
 
 def load_params(path: str) -> Any:
     data = np.load(path)
     tree: Dict[str, Any] = {}
     for key in data.files:
+        if key == _CONFIG_KEY:
+            continue
         parts = key.split(_SEP)
         node = tree
         for p in parts[:-1]:

@@ -1,0 +1,215 @@
+"""Round-3 TPU probes: (a) confirm WHY grouped/chunked executables failed on
+the bench chip (HBM at compile-time memory planning, not program size),
+(b) find a working draw_chunk>1 configuration via output_chunk capping,
+(c) measure the flash kernel vs XLA at the 80k-sample length-sweep row
+(T~2,500) where VMEM residency should win, and (d) prove >1 sample per
+executable works via the scan-grouped pipeline step.
+
+Appends JSON records (tagged with "probe") to artifacts/bench_sweep_tpu.jsonl.
+Run ON the TPU host: python scripts/tpu_r3_probe.py [probe ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                   "bench_sweep_tpu.jsonl")
+
+
+def _sync(a):
+    np.asarray(np.ravel(np.asarray(a))[:1])
+
+
+def _emit(fh, rec):
+    fh.write(json.dumps(rec) + "\n")
+    fh.flush()
+    print(json.dumps(rec), flush=True)
+
+
+def _build(audio_len, nsamples, draw_chunk, output_chunk, dtype="bfloat16",
+           attention_impl="xla", precision="default"):
+    import jax
+    import jax.numpy as jnp
+
+    from asr_shap.core.config import ExplainerConfig, Wav2Vec2Config
+    from asr_shap.explain.baselines import zeros_noise_background
+    from asr_shap.explain.expected_gradients import expected_gradients
+    from asr_shap.models.heads import make_explained_fn
+    from asr_shap.models.wav2vec2 import init_wav2vec2_params
+
+    cfg = Wav2Vec2Config(matmul_precision=precision, dtype=dtype,
+                         attention_impl=attention_impl)
+    params = init_wav2vec2_params(jax.random.key(0), cfg)
+    ecfg = ExplainerConfig(nsamples=nsamples, draw_chunk=draw_chunk,
+                           output_chunk=output_chunk, num_background=5,
+                           remat=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(audio_len).astype(np.float32))
+    bg = zeros_noise_background(jax.random.key(1), audio_len, 5, 0.01)
+
+    @jax.jit
+    def run(p, xx, kk):
+        f = make_explained_fn(p, cfg, ecfg)
+        return expected_gradients(f, xx, bg, kk, ecfg).values
+
+    return run, params, x, cfg, ecfg
+
+
+def probe_memory_and_chunks(fh):
+    """Compile (and when viable, time) draw_chunk x output_chunk combos at the
+    flagship 48k length; record XLA's memory analysis when exposed."""
+    import jax
+
+    for draw_chunk, output_chunk in [
+        (1, 0), (2, 0), (2, 64), (4, 40), (8, 20), (4, 0),
+    ]:
+        rec = {"probe": "r3_chunk_grid", "audio_len": 48000, "nsamples": 32,
+               "dtype": "bfloat16", "draw_chunk": draw_chunk,
+               "output_chunk": output_chunk}
+        try:
+            run, params, x, cfg, ecfg = _build(48000, 32, draw_chunk,
+                                               output_chunk)
+            t0 = time.perf_counter()
+            compiled = run.lower(params, x, jax.random.key(2)).compile()
+            rec["compile_s"] = round(time.perf_counter() - t0, 1)
+            try:
+                ma = compiled.memory_analysis()
+                if isinstance(ma, list):
+                    ma = ma[0]
+                rec["temp_bytes"] = int(getattr(ma, "temp_size_in_bytes", 0))
+                rec["peak_gb"] = round(
+                    (getattr(ma, "temp_size_in_bytes", 0)
+                     + getattr(ma, "argument_size_in_bytes", 0)
+                     + getattr(ma, "output_size_in_bytes", 0)) / 2**30, 2)
+            except Exception as e:
+                rec["memory_analysis"] = f"unavailable: {type(e).__name__}"
+            phi = compiled(params, x, jax.random.key(2))
+            _sync(phi)
+            walls = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                phi = compiled(params, x, jax.random.key(3 + i))
+                _sync(phi)
+                walls.append(time.perf_counter() - t0)
+            wall = min(walls)
+            chunk = max(1, draw_chunk)
+            draws = -(-32 // chunk) * chunk
+            t_frames = cfg.frames_for_samples(48000)
+            rec.update(wall_s=round(wall, 3),
+                       passes_per_sec=round(draws * t_frames / wall, 1))
+        except Exception as e:
+            rec["error"] = repr(e)[:300]
+        _emit(fh, rec)
+
+
+def probe_long_seq_kernel(fh):
+    """80k-sample row of the reference length sweep (runtime_analysis.py:111):
+    T~2,500 frames, where XLA materializes [rows, H, T, T] probabilities in
+    HBM but the flash kernel keeps them in VMEM. output_chunk bounds the
+    row batch so both fit."""
+    import jax
+
+    for attn in ["xla", "pallas"]:
+        for output_chunk in [8, 16]:
+            rec = {"probe": "r3_long_seq", "audio_len": 80000, "nsamples": 4,
+                   "dtype": "bfloat16", "attention_impl": attn,
+                   "draw_chunk": 1, "output_chunk": output_chunk}
+            try:
+                run, params, x, cfg, ecfg = _build(
+                    80000, 4, 1, output_chunk, attention_impl=attn)
+                t0 = time.perf_counter()
+                compiled = run.lower(params, x, jax.random.key(2)).compile()
+                rec["compile_s"] = round(time.perf_counter() - t0, 1)
+                phi = compiled(params, x, jax.random.key(2))
+                _sync(phi)
+                walls = []
+                for i in range(2):
+                    t0 = time.perf_counter()
+                    phi = compiled(params, x, jax.random.key(3 + i))
+                    _sync(phi)
+                    walls.append(time.perf_counter() - t0)
+                wall = min(walls)
+                t_frames = cfg.frames_for_samples(80000)
+                rec.update(
+                    t_frames=t_frames, wall_s=round(wall, 3),
+                    passes_per_sec=round(4 * t_frames / wall, 1),
+                    phi_checksum=float(np.abs(np.asarray(phi)).mean()),
+                )
+            except Exception as e:
+                rec["error"] = repr(e)[:300]
+            _emit(fh, rec)
+
+
+def probe_scan_groups(fh):
+    """Full-model sample groups through the ACTUAL pipeline step builder
+    (lax.scan over samples): the round-2 vmap form failed to compile at
+    g>=2; the scan form must compile and run."""
+    import jax
+    import jax.numpy as jnp
+
+    from asr_shap.core.config import (
+        ExplainerConfig, PipelineConfig, Wav2Vec2Config,
+    )
+    from asr_shap.pipeline.run_shap import _build_group_step
+
+    for g in [2, 4]:
+        rec = {"probe": "r3_scan_groups", "audio_len": 48000, "nsamples": 8,
+               "dtype": "bfloat16", "sample_batch": g}
+        try:
+            cfg = PipelineConfig(
+                model=Wav2Vec2Config(matmul_precision="default",
+                                     dtype="bfloat16"),
+                explainer=ExplainerConfig(nsamples=8, draw_chunk=1,
+                                          num_background=5),
+                sample_batch=g,
+            )
+            from asr_shap.models.wav2vec2 import init_wav2vec2_params
+
+            params = init_wav2vec2_params(jax.random.key(0), cfg.model)
+            step = _build_group_step(cfg, None, g)
+            rng = np.random.default_rng(0)
+            xs = jnp.asarray(rng.standard_normal((g, 48000)).astype(np.float32))
+            keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(7), i))(
+                jnp.arange(g))
+            t0 = time.perf_counter()
+            phis, confs, ids, keeps = step(params, xs, keys)
+            _sync(phis)
+            wall0 = time.perf_counter() - t0  # includes compile
+            t0 = time.perf_counter()
+            phis, confs, ids, keeps = step(params, xs, keys)
+            _sync(phis)
+            wall = time.perf_counter() - t0
+            rec.update(first_call_s=round(wall0, 1),
+                       steady_wall_s=round(wall, 3),
+                       per_sample_s=round(wall / g, 3),
+                       phi_shape=list(np.asarray(phis).shape))
+        except Exception as e:
+            rec["error"] = repr(e)[:300]
+        _emit(fh, rec)
+
+
+PROBES = {
+    "chunks": probe_memory_and_chunks,
+    "longseq": probe_long_seq_kernel,
+    "groups": probe_scan_groups,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(PROBES)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "a") as fh:
+        for name in names:
+            PROBES[name](fh)
+
+
+if __name__ == "__main__":
+    main()

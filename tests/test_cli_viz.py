@@ -127,3 +127,30 @@ def test_cli_help_all_subcommands():
         with pytest.raises(SystemExit) as e:
             parser.parse_args([cmd, "--help"])
         assert e.value.code == 0
+
+
+def test_params_npz_carries_config(tmp_path):
+    """save_params can embed the architecture config; load_config restores
+    it so `--params` runs don't have to re-guess preset flags."""
+    from asr_shap.core.config import Wav2Vec2Config
+    from asr_shap.core.params_io import load_config, load_params, save_params
+    from asr_shap.models import init_wav2vec2_params
+
+    cfg = Wav2Vec2Config(hidden_size=32, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=64,
+                         conv_dim=(16, 16), conv_stride=(5, 2),
+                         conv_kernel=(10, 3), num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4, feat_proj_dim=16)
+    params = init_wav2vec2_params(jax.random.key(0), cfg)
+    path = str(tmp_path / "p.npz")
+    save_params(path, params, config=cfg)
+    assert load_config(path) == cfg
+    restored = load_params(path)
+    flat_a = jax.tree.leaves(restored)
+    flat_b = jax.tree.leaves(params)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # weights-only archives stay loadable and report no config
+    save_params(str(tmp_path / "bare.npz"), params)
+    assert load_config(str(tmp_path / "bare.npz")) is None
