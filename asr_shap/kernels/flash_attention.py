@@ -3,10 +3,13 @@
 Why this kernel exists: the explainer batches T_frames cotangents through the
 attention backward (one batched VJP per draw, explain/expected_gradients.py),
 so the XLA path would materialize softmax probabilities of shape
-[draws*T, H, T, T] in HBM — gigabytes per layer at reference audio lengths
-(runtime_analysis.py's 80,000-sample row is T~2,500 frames). This kernel
-keeps scores/probabilities in VMEM in both directions; HBM only sees
-q/k/v/o-sized tensors plus a per-row logsumexp residual.
+[rows, H, T, T] in HBM. At reference audio lengths that is modest
+(runtime_analysis.py's 80,000-sample row is 5 s = T~250 frames at the x320
+downsample), which is why XLA wins there (artifacts/kernel_decision.md);
+the VMEM-residency win appears on long-form audio — 30 s = T~1,500 puts
+XLA's probability tensors at ~GB per layer per draw. This kernel keeps
+scores/probabilities in VMEM in both directions; HBM only sees q/k/v/o-sized
+tensors plus a per-row logsumexp residual.
 
 Structure (seq lengths here are ASR frame counts, ~50-2500):
   forward : grid (B*H, T/bq) — one q-block against full K/V in VMEM,

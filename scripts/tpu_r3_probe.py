@@ -111,41 +111,56 @@ def probe_memory_and_chunks(fh):
 
 
 def probe_long_seq_kernel(fh):
-    """80k-sample row of the reference length sweep (runtime_analysis.py:111):
-    T~2,500 frames, where XLA materializes [rows, H, T, T] probabilities in
-    HBM but the flash kernel keeps them in VMEM. output_chunk bounds the
-    row batch so both fit."""
+    """Where does the flash kernel win? The reference length sweep tops out
+    at 80k samples (runtime_analysis.py:111) = 5 s = T~250 frames — XLA's
+    materialized [rows, H, T, T] probabilities are still modest there. The
+    real VMEM-residency case is long-form audio: 480k samples (30 s,
+    T~1,500), where XLA's probability tensors hit ~GB per layer while the
+    flash kernel keeps them in VMEM. output_chunk bounds the row batch so
+    both fit."""
     import jax
 
-    for attn in ["xla", "pallas"]:
-        for output_chunk in [8, 16]:
-            rec = {"probe": "r3_long_seq", "audio_len": 80000, "nsamples": 4,
-                   "dtype": "bfloat16", "attention_impl": attn,
-                   "draw_chunk": 1, "output_chunk": output_chunk}
-            try:
-                run, params, x, cfg, ecfg = _build(
-                    80000, 4, 1, output_chunk, attention_impl=attn)
-                t0 = time.perf_counter()
-                compiled = run.lower(params, x, jax.random.key(2)).compile()
-                rec["compile_s"] = round(time.perf_counter() - t0, 1)
-                phi = compiled(params, x, jax.random.key(2))
-                _sync(phi)
-                walls = []
-                for i in range(2):
-                    t0 = time.perf_counter()
-                    phi = compiled(params, x, jax.random.key(3 + i))
-                    _sync(phi)
-                    walls.append(time.perf_counter() - t0)
-                wall = min(walls)
-                t_frames = cfg.frames_for_samples(80000)
-                rec.update(
-                    t_frames=t_frames, wall_s=round(wall, 3),
-                    passes_per_sec=round(4 * t_frames / wall, 1),
-                    phi_checksum=float(np.abs(np.asarray(phi)).mean()),
-                )
-            except Exception as e:
-                rec["error"] = repr(e)[:300]
-            _emit(fh, rec)
+    grid = [
+        (80000, 4, [8, 16]),     # reference sweep's longest row
+        (480000, 2, [16]),       # long-form audio (framework extension)
+    ]
+    for audio_len, nsamples, chunks in grid:
+        for attn in ["xla", "pallas"]:
+            for output_chunk in chunks:
+                _long_seq_row(fh, audio_len, nsamples, output_chunk, attn)
+
+
+def _long_seq_row(fh, audio_len, nsamples, output_chunk, attn):
+    import jax
+
+    rec = {"probe": "r3_long_seq", "audio_len": audio_len,
+           "nsamples": nsamples, "dtype": "bfloat16",
+           "attention_impl": attn, "draw_chunk": 1,
+           "output_chunk": output_chunk}
+    try:
+        run, params, x, cfg, ecfg = _build(
+            audio_len, nsamples, 1, output_chunk, attention_impl=attn)
+        t0 = time.perf_counter()
+        compiled = run.lower(params, x, jax.random.key(2)).compile()
+        rec["compile_s"] = round(time.perf_counter() - t0, 1)
+        phi = compiled(params, x, jax.random.key(2))
+        _sync(phi)
+        walls = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            phi = compiled(params, x, jax.random.key(3 + i))
+            _sync(phi)
+            walls.append(time.perf_counter() - t0)
+        wall = min(walls)
+        t_frames = cfg.frames_for_samples(audio_len)
+        rec.update(
+            t_frames=t_frames, wall_s=round(wall, 3),
+            passes_per_sec=round(nsamples * t_frames / wall, 1),
+            phi_checksum=float(np.abs(np.asarray(phi)).mean()),
+        )
+    except Exception as e:
+        rec["error"] = repr(e)[:300]
+    _emit(fh, rec)
 
 
 def probe_scan_groups(fh):
