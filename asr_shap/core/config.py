@@ -67,6 +67,12 @@ class Wav2Vec2Config:
     # dispatch: pallas at T >= ops.attention.AUTO_PALLAS_MIN_T, where XLA's
     # materialized [batch, H, T, T] probabilities become the bottleneck).
     attention_impl: str = "xla"
+    # Feature-encoder conv formulation: "lax" (fastest measured, r3_conv_ab),
+    # "gemm" (stride-blocked GEMMs), "hybrid" (lax forward + GEMM backward —
+    # required when the explainer batches >1 draw per executable, whose
+    # multi-row lax dgrad crashes some compile services). See
+    # models/wav2vec2.py::_conv1d.
+    conv_impl: str = "lax"
 
     @property
     def head_dim(self) -> int:
@@ -286,3 +292,9 @@ class PipelineConfig:
     # On hosts whose compile service rejects large programs (see
     # artifacts/bench_sweep_tpu.jsonl), set 1 for full-size models.
     sample_batch: int = 4
+    # Elastic recovery from device-runtime loss (TPU worker crash/restart):
+    # the pipeline keeps a host copy of the params, waits crash_backoff_s *
+    # attempt, re-stages, and continues the run in-process. 0 disables (and
+    # skips the host copy).
+    crash_retries: int = 3
+    crash_backoff_s: float = 60.0

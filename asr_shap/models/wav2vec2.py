@@ -22,6 +22,7 @@ randomly-initialized torch ``Wav2Vec2ForCTC`` after weight conversion.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional
 
@@ -82,16 +83,49 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def _conv1d(
-    x: jnp.ndarray,
-    kernel: jnp.ndarray,
-    stride: int = 1,
-    padding: int = 0,
-    groups: int = 1,
-    bias: Optional[jnp.ndarray] = None,
+def _conv1d_gemm(
+    x: jnp.ndarray, kernel: jnp.ndarray, stride: int
 ) -> jnp.ndarray:
-    """x: [B, T, C_in], kernel: [K, C_in // groups, C_out] -> [B, T', C_out]."""
-    y = lax.conv_general_dilated(
+    """Strided valid conv as stride-blocked GEMMs.
+
+    MEASURED NEGATIVE RESULT (kept for the record + as the compile-friendly
+    backward formulation): an interleaved A/B at the bench config
+    (artifacts/bench_sweep_tpu.jsonl r3_conv_ab) put this formulation 25%
+    behind ``lax.conv`` end-to-end (1,167 vs 1,457 passes/s) — XLA's native
+    conv + dgrad is already well-tiled here. BUT the lax dgrad at >=2-draw
+    cotangent batches crashes this host's compile helper, while this
+    formulation's plain-matmul backward compiles — so it serves as the
+    custom-VJP backward of ``impl="hybrid"``. Reshaping time into stride
+    blocks turns the conv into m = ceil(K/stride) dense matmuls over
+    [s*C_in, C_out]; identical math (same f32 accumulation),
+    reassociation-level float noise only.
+
+      xb[u] = x[s*u : s*u + s]              (a view: row-major reshape)
+      y[t]  = sum_q xb[t+q] @ Wq,  Wq[r*C_in + c, o] = w[s*q + r, c, o]
+              (zero-padded where s*q + r >= K)
+    """
+    b, t, cin = x.shape
+    k, _, cout = kernel.shape
+    s = stride
+    t_out = (t - k) // s + 1
+    m = -(-k // s)
+    need = (t_out + m - 1) * s  # >= (t_out-1)*s + k, since m*s >= k
+    if need > t:
+        x = jnp.pad(x, ((0, 0), (0, need - t), (0, 0)))
+    xb = x[:, :need].reshape(b, t_out + m - 1, s * cin)
+    wq = jnp.pad(kernel, ((0, m * s - k), (0, 0), (0, 0))).reshape(
+        m, s, cin, cout
+    ).reshape(m, s * cin, cout)
+    y = xb[:, 0:t_out] @ wq[0]
+    for q in range(1, m):
+        y = y + xb[:, q : q + t_out] @ wq[q]
+    return y
+
+
+def _conv1d_lax(
+    x: jnp.ndarray, kernel: jnp.ndarray, stride: int, padding: int, groups: int
+) -> jnp.ndarray:
+    return lax.conv_general_dilated(
         x,
         kernel,
         window_strides=(stride,),
@@ -100,6 +134,55 @@ def _conv1d(
         feature_group_count=groups,
         preferred_element_type=x.dtype,
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv1d_hybrid(x: jnp.ndarray, kernel: jnp.ndarray, stride: int):
+    """lax.conv forward (fastest measured, r3_conv_ab) with the
+    stride-blocked-GEMM formulation's backward (the lax dgrad at multi-draw
+    cotangent batches crashes this host's compile helper; the GEMM
+    transpose is plain matmuls and compiles everywhere)."""
+    return _conv1d_lax(x, kernel, stride, 0, 1)
+
+
+def _conv1d_hybrid_fwd(x, kernel, stride):
+    return _conv1d_hybrid(x, kernel, stride), (x, kernel)
+
+
+def _conv1d_hybrid_bwd(stride, res, ct):
+    x, kernel = res
+    _, vjp_fn = jax.vjp(lambda xx, kk: _conv1d_gemm(xx, kk, stride), x, kernel)
+    return vjp_fn(ct)
+
+
+_conv1d_hybrid.defvjp(_conv1d_hybrid_fwd, _conv1d_hybrid_bwd)
+
+
+def _conv1d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 0,
+    groups: int = 1,
+    bias: Optional[jnp.ndarray] = None,
+    impl: str = "lax",
+) -> jnp.ndarray:
+    """x: [B, T, C_in], kernel: [K, C_in // groups, C_out] -> [B, T', C_out].
+
+    ``impl`` selects the formulation for strided/ungrouped/unpadded convs
+    (the feature-encoder shape): "lax" (default — fastest measured,
+    r3_conv_ab), "gemm" (stride-blocked GEMMs both ways), "hybrid"
+    (lax forward + GEMM backward; compiles at multi-draw cotangent batches
+    where the lax dgrad crashes the compile helper). Grouped or padded
+    convs (the positional conv embedding) always use ``lax.conv``.
+    """
+    eligible = groups == 1 and padding == 0 and stride > 1
+    if impl == "gemm" and eligible:
+        y = _conv1d_gemm(x, kernel, stride)
+    elif impl == "hybrid" and eligible:
+        y = _conv1d_hybrid(x, kernel, stride)
+    else:
+        y = _conv1d_lax(x, kernel, stride, padding, groups)
     if bias is not None:
         y = y + bias
     return y
@@ -229,6 +312,7 @@ def feature_encoder(
             layer["conv"]["kernel"],
             stride=config.conv_stride[i],
             bias=layer["conv"].get("bias"),
+            impl=config.conv_impl,
         )
         if config.feat_extract_norm == "group" and i == 0:
             h = _group_norm(layer["norm"], h, num_groups=config.conv_dim[0],

@@ -51,10 +51,11 @@ def _xla_attention(
 
 
 # Length threshold for impl="auto": below it XLA's fused attention wins at
-# ASR frame counts (measured: 1,542 vs 969 passes/s at T=149,
-# artifacts/kernel_decision.md); above it the flash kernel's VMEM residency
-# wins because XLA materializes [batch, H, T, T] probabilities in HBM both
-# ways (measured at T=2,499, artifacts/kernel_decision.md).
+# ASR frame counts (measured: 1,542 vs 969 passes/s at T=149; still ahead
+# 406 vs 370 at T=249); above it the flash kernel's VMEM residency wins —
+# measured 20.2 vs 19.4 passes/s at T=1,499 (30 s long-form audio) — because
+# XLA materializes [rows, H, T, T] probabilities in HBM both ways. See
+# artifacts/kernel_decision.md "Round-3 long-sequence measurement".
 AUTO_PALLAS_MIN_T = 1024
 
 

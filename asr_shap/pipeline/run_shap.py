@@ -66,6 +66,15 @@ from asr_shap.utils.debug import check_finite
 logger = logging.getLogger(__name__)
 
 
+def _is_device_unavailable(e: Exception) -> bool:
+    """True for runtime-loss errors (TPU worker crash/restart), where the
+    right reaction is wait + re-stage, not shrink the program. Compile-time
+    rejections (RESOURCE_EXHAUSTED, HTTP 500 from a compile service) are NOT
+    matched — those need a smaller executable, handled separately."""
+    s = repr(e)
+    return "UNAVAILABLE" in s or "crashed or restarted" in s
+
+
 def _sample_step(cfg: PipelineConfig, mesh=None):
     """Single-sample computation (params, x [N], key) -> (phi, conf, ids,
     keep). ``params`` is an ARGUMENT (not a closure) so the weights stay
@@ -216,6 +225,17 @@ def run_shap_pipeline(
     step = _build_group_step(cfg, mesh, g)
     key = jax.random.key(cfg.seed)
 
+    # elastic recovery (SURVEY.md section 5 failure detection): a TPU worker
+    # crash mid-run loses every device buffer, params included. Keep a host
+    # copy so the run can wait out the restart, re-stage, and continue —
+    # both study runs on the bench chip died exactly this way, and the store
+    # only makes the *restarted process* resume free; this makes the same
+    # process survive. Costs one host copy of the weights.
+    params_host = (
+        jax.tree.map(np.asarray, params) if cfg.crash_retries > 0 else None
+    )
+    crashes = 0
+
     # resume filter, then exact-length buckets
     pending: List[int] = []
     for i, sample in enumerate(test_set):
@@ -250,6 +270,31 @@ def run_shap_pipeline(
                 phis, confs, ids, keeps = step(params, xs, keys)
                 phis = np.asarray(phis)  # device->host once per group
             except Exception as e:
+                if (
+                    params_host is not None
+                    and _is_device_unavailable(e)
+                    and crashes < cfg.crash_retries
+                ):
+                    crashes += 1
+                    wait = cfg.crash_backoff_s * crashes
+                    logger.warning(
+                        "device unavailable (%s: %.200s); waiting %.0fs for "
+                        "the worker, then re-staging params (recovery %d/%d)",
+                        type(e).__name__, e, wait, crashes, cfg.crash_retries,
+                    )
+                    time.sleep(wait)
+                    jax.clear_caches()  # drop executables bound to the dead runtime
+                    params = jax.device_put(params_host)
+                    key = jax.random.key(cfg.seed)
+                    if g > 1:
+                        # the crash was likely the grouped program's memory:
+                        # continue one sample per call, conservatively
+                        groups = [[i] for grp in [idxs] + groups for i in grp]
+                        g = 1
+                    else:
+                        groups.insert(0, idxs)
+                    step = _build_group_step(cfg, mesh, g)
+                    continue
                 if g == 1:
                     raise
                 # compile services / HBM limits can reject the grouped

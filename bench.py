@@ -31,9 +31,25 @@ Tuned defaults (measured on the bench v5e, artifacts/bench_sweep_tpu.jsonl):
     noise.
   * attention_impl "xla": at ASR frame counts (~150) XLA's fused attention
     beats the Pallas flash kernel (1542 vs 969 passes/s); the kernel's
-    VMEM win only pays at long sequence lengths.
-  * draw_chunk 1: chunk>1 compiles fine on CPU (mesh tests) but exceeds
-    this host's remote-compile service limits.
+    VMEM win appears at T >= ~1,000 (long-form audio; measured 20.2 vs
+    19.4 passes/s at T=1,499 — attention_impl="auto" dispatches there).
+  * draw_chunk 1 (round-3 exhaustive sweep, r3_* rows in
+    artifacts/bench_sweep_tpu.jsonl): dc=2 compiles with the hybrid/GEMM
+    conv backward but measures SLOWER (1246-1277 vs 1457 same-day); dc>=4
+    crashes the host's compile helper under every conv formulation;
+    output_chunk splits add remat replays and lose too (995-1099).
+  * conv_impl "lax" (interleaved A/B, r3_conv_ab): the stride-blocked GEMM
+    formulation is 25% slower end-to-end (1167 vs 1457); XLA's native conv
+    + dgrad is well-tiled at this batch. "hybrid" exists because the lax
+    dgrad at multi-draw cotangent batches crashes the compile helper.
+
+Where the remaining wall-clock lives (r3_decomp rows): the T-row batched
+backward runs at ~85 TF/s (~43% of bf16 peak); the per-draw BATCH-1 forward
+(vjp residual pass) costs ~35 ms against a 0.74 ms/pass batched floor —
+per-op dispatch overhead on this host's remote-execution relay, which draw
+batching would amortize if the compile helper accepted dc>=4 programs.
+Day-to-day relay drift on identical programs is +-15-25% (1795 measured
+2026-08-16, 1430-1457 on 2026-08-17).
 
 Env overrides: BENCH_AUDIO_LEN (default 48000), BENCH_NSAMPLES (default 32),
 BENCH_PRECISION, BENCH_DRAW_CHUNK, BENCH_ATTN, BENCH_TORCH_PASSES (default

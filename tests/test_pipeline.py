@@ -418,3 +418,76 @@ def test_group_compile_failure_falls_back_to_serial(
     assert len(results) == len(ts)       # ...and every sample still computed
     for r in results:
         assert np.isfinite(r["shap_values"]).all()
+
+
+def test_worker_crash_recovery_restages_and_completes(
+    tiny_testset, tiny_config, tmp_path, monkeypatch
+):
+    """Device-runtime loss (TPU worker crash: UNAVAILABLE) mid-run: the
+    pipeline waits, re-stages params from its host copy, degrades to
+    sample_batch=1, and completes every sample in-process — both round-3
+    study runs on the bench chip died exactly this way."""
+    from asr_shap.pipeline import run_shap as rs
+
+    real_builder = rs._build_group_step
+    state = {"crashed": 0, "restaged_params": []}
+
+    def flaky_builder(cfg, mesh, g):
+        real = real_builder(cfg, mesh, g)
+        if g > 1 and not state["crashed"]:
+            def crash(*a):
+                state["crashed"] += 1
+                raise RuntimeError(
+                    "UNAVAILABLE: TPU worker process crashed or restarted "
+                    "(simulated)"
+                )
+
+            return crash
+
+        def wrapped(params, xs, ks):
+            state["restaged_params"].append(params)
+            return real(params, xs, ks)
+
+        return wrapped
+
+    monkeypatch.setattr(rs, "_build_group_step", flaky_builder)
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    pcfg = PipelineConfig(
+        model=tiny_config,
+        explainer=ExplainerConfig(nsamples=2, draw_chunk=2, num_background=2),
+        testset=cfg, data_dir=str(tmp_path), sample_batch=4,
+        crash_retries=2, crash_backoff_s=0.0,
+    )
+    results = rs.run_shap_pipeline(params, pcfg, ts,
+                                   AttributionStore(str(tmp_path)))
+    assert state["crashed"] == 1
+    assert len(results) == len(ts)
+    for r in results:
+        assert np.isfinite(r["shap_values"]).all()
+
+
+def test_worker_crash_disabled_raises(
+    tiny_testset, tiny_config, tmp_path, monkeypatch
+):
+    """crash_retries=0 keeps the old behavior for UNAVAILABLE at g==1:
+    the error propagates (and no host param copy is kept)."""
+    from asr_shap.pipeline import run_shap as rs
+
+    def builder(cfg, mesh, g):
+        def crash(*a):
+            raise RuntimeError("UNAVAILABLE: worker crashed (simulated)")
+
+        return crash
+
+    monkeypatch.setattr(rs, "_build_group_step", builder)
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    pcfg = PipelineConfig(
+        model=tiny_config,
+        explainer=ExplainerConfig(nsamples=2, num_background=2),
+        testset=cfg, data_dir=str(tmp_path), sample_batch=1,
+        crash_retries=0,
+    )
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        rs.run_shap_pipeline(params, pcfg, ts, AttributionStore(str(tmp_path)))

@@ -207,3 +207,36 @@ def test_bf16_mixed_precision_path(rng):
 
     g = jax.grad(lambda v: jnp.sum(wav2vec2_logits(params, cfg16, v) ** 2))(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_conv1d_gemm_matches_lax(rng):
+    """The stride-blocked GEMM conv (the TPU-native hot path — see
+    _conv1d_gemm) must match lax.conv in value AND in input-VJP across the
+    feature-encoder shapes (k10/s5, k3/s2, k2/s2) plus a non-dividing
+    (k5/s3) case and odd lengths."""
+    import jax
+    import jax.numpy as jnp
+
+    from asr_shap.models.wav2vec2 import _conv1d
+
+    for k, s, cin, cout, t in [
+        (10, 5, 1, 16, 997),
+        (3, 2, 16, 12, 498),
+        (2, 2, 12, 8, 61),
+        (5, 3, 4, 8, 100),
+    ]:
+        x = jnp.asarray(rng.standard_normal((2, t, cin)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, cin, cout)), jnp.float32)
+
+        y_lax = _conv1d(x, w, stride=s, impl="lax")
+        ct = jnp.asarray(rng.standard_normal(y_lax.shape), jnp.float32)
+        dx_lax = jax.vjp(lambda a: _conv1d(a, w, stride=s, impl="lax"), x)[1](ct)[0]
+        dw_lax = jax.vjp(lambda b: _conv1d(x, b, stride=s, impl="lax"), w)[1](ct)[0]
+        for impl in ("gemm", "hybrid"):
+            y = _conv1d(x, w, stride=s, impl=impl)
+            assert y.shape == y_lax.shape == (2, (t - k) // s + 1, cout)
+            np.testing.assert_allclose(y, y_lax, atol=2e-5, rtol=1e-5)
+            dx = jax.vjp(lambda a: _conv1d(a, w, stride=s, impl=impl), x)[1](ct)[0]
+            np.testing.assert_allclose(dx, dx_lax, atol=2e-4, rtol=1e-4)
+            dw = jax.vjp(lambda b: _conv1d(x, b, stride=s, impl=impl), w)[1](ct)[0]
+            np.testing.assert_allclose(dw, dw_lax, atol=2e-3, rtol=1e-4)
