@@ -290,18 +290,20 @@ def cmd_train(args):
 
 
 def cmd_bench(args):
+    from asr_shap.core.config import Wav2Vec2Config
     from asr_shap.pipeline.benchmarks import run_length_sweep
 
-    model_config = None
+    numerics = dict(dtype=args.dtype, matmul_precision=args.precision,
+                    attention_impl=args.attn)
     if args.tiny:
-        from asr_shap.core.config import Wav2Vec2Config
-
         model_config = Wav2Vec2Config(
             hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
             intermediate_size=128, conv_dim=(32, 32), conv_stride=(5, 2),
             conv_kernel=(10, 3), num_conv_pos_embeddings=16,
-            num_conv_pos_embedding_groups=4, feat_proj_dim=32,
+            num_conv_pos_embedding_groups=4, feat_proj_dim=32, **numerics,
         )
+    else:
+        model_config = Wav2Vec2Config(**numerics)
     run_length_sweep(lengths=tuple(args.lengths), nsamples=args.nsamples,
                      model_config=model_config, plot_path=args.plot,
                      json_path=args.json)
@@ -320,9 +322,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-length", type=int, default=0)
     p.add_argument("--nsamples", type=int, default=200)
     p.add_argument("--draw-chunk", type=int, default=1)
-    p.add_argument("--output-chunk", type=int, default=0,
+    p.add_argument("--output-chunk", type=int, default=128,
                    help="cotangent rows per backward batch (0 = all "
-                        "T_frames at once; bound memory on long clips)")
+                        "T_frames at once — fastest when it fits; the "
+                        "default bounds backward memory so reference-length "
+                        "clips >=100k samples don't overrun a 16 GB chip)")
     p.add_argument("--sample-batch", type=int, default=4,
                    help="samples explained per jitted call (1 = serial)")
     p.add_argument("--async-writes", action="store_true",
@@ -414,6 +418,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--plot", type=str, default=None)
     p.add_argument("--json", type=str, default=None)
+    # numerics default to the tuned throughput winners (bench.py header);
+    # use --dtype float32 --precision highest for the parity-path timing
+    p.add_argument("--dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16")
+    p.add_argument("--precision", choices=["default", "highest"],
+                   default="default")
+    p.add_argument("--attn", choices=["xla", "pallas", "auto"], default="xla")
     p.set_defaults(fn=cmd_bench)
 
     return ap

@@ -37,7 +37,12 @@ def run_length_sweep(
     from asr_shap.models.heads import make_explained_fn
     from asr_shap.models.wav2vec2 import init_wav2vec2_params
 
-    cfg = model_config or Wav2Vec2Config()
+    # throughput protocol: default to the TUNED numerics (bf16 activations,
+    # bf16 MXU passes — the measured winners, bench.py header). Pass an
+    # explicit model_config for the f32 parity-path timing.
+    cfg = model_config or Wav2Vec2Config(
+        dtype="bfloat16", matmul_precision="default"
+    )
     if params is None:
         params = init_wav2vec2_params(jax.random.key(0), cfg)
 
