@@ -8,11 +8,14 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 _SEP = "::"
 _CONFIG_KEY = "__asr_shap_config__"
@@ -55,10 +58,23 @@ def load_config(path: str) -> Optional[Any]:
     from asr_shap.core import config as config_mod
 
     cls = getattr(config_mod, payload["class"])
-    fields = {
-        k: (tuple(v) if isinstance(v, list) else v)
-        for k, v in payload["fields"].items()
-    }
+    # filter to the CURRENT dataclass schema: archives outlive code, and a
+    # renamed/removed field must not make every previously saved .npz
+    # unloadable (cls(**unknown) would TypeError). Dropped fields warn;
+    # fields added since the save keep their defaults.
+    known = {f.name for f in dataclasses.fields(cls)}
+    fields = {}
+    dropped = []
+    for k, v in payload["fields"].items():
+        if k in known:
+            fields[k] = tuple(v) if isinstance(v, list) else v
+        else:
+            dropped.append(k)
+    if dropped:
+        logger.warning(
+            "%s: embedded config carries fields unknown to current %s "
+            "(%s) — ignoring them", path, cls.__name__, ", ".join(dropped),
+        )
     return cls(**fields)
 
 

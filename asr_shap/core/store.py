@@ -127,6 +127,12 @@ class AttributionStore:
         out["text"] = str(np.load(self._path(key, "text")))
         return out
 
+    def array_shape(self, key: SampleKey, kind: str) -> tuple:
+        """Shape of a stored array WITHOUT loading its data (npy header via
+        mmap) — lets consumers length-bucket a large store lazily instead of
+        materializing every ~100 MB phi matrix up front."""
+        return tuple(np.load(self._path(key, kind), mmap_mode="r").shape)
+
     def completed(self, key: SampleKey) -> bool:
         """True if all four files exist — enables resume (absent upstream,
         SURVEY.md section 5 checkpoint/resume)."""

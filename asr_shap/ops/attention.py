@@ -75,6 +75,11 @@ def multi_head_attention(
     if impl == "auto":
         impl = "pallas" if q.shape[2] >= AUTO_PALLAS_MIN_T else "xla"
     if impl == "pallas":
+        if bias is not None and bias.ndim != 4:
+            # the flash kernel's bias-cotangent unbroadcast assumes rank 4
+            # ([B, 1, 1, T] masks or [B, H, T, T] scores); other broadcast-
+            # able ranks get correct values AND grads from the XLA path
+            return _xla_attention(q, k, v, bias)
         from asr_shap.kernels.flash_attention import flash_attention
 
         return flash_attention(q, k, v, bias)

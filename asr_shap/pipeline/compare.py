@@ -82,9 +82,12 @@ def lime_shap_comparison(
     x = zero_mean_unit_var(jnp.asarray(clip))
     n = int(x.shape[0])
 
-    def head(kind):
+    def head(p, kind):
+        # p flows in as a jit ARGUMENT — closing over the weight tree bakes
+        # it into the HLO as constants, which breaks remote compile services
+        # at full model size (same invariant as run_shap._sample_step)
         def f(xx):
-            logits = logits_fn(params, model_cfg, xx[None, :], remat=ec.remat)
+            logits = logits_fn(p, model_cfg, xx[None, :], remat=ec.remat)
             return aggregation_head(logits, kind)[0]
 
         return f
@@ -95,7 +98,7 @@ def lime_shap_comparison(
 
     @jax.jit
     def run_shap(p, xx, kk):
-        return expected_gradients(head("mean"), xx, bg, kk, ec).values
+        return expected_gradients(head(p, "mean"), xx, bg, kk, ec).values
 
     t0 = time.perf_counter()
     phi_shap = np.asarray(run_shap(params, x, fold(key, 1)))  # [N, T]
@@ -106,7 +109,7 @@ def lime_shap_comparison(
     @jax.jit
     def run_lime(p, xx, kk):
         return lime_attributions(
-            head("mean_time"), xx, kk,
+            head(p, "mean_time"), xx, kk,
             num_segments=ec.lime_num_segments,
             num_samples=ec.lime_num_samples,
             keep_prob=ec.lime_mask_prob,
@@ -122,10 +125,16 @@ def lime_shap_comparison(
     # coarse segments (per-sample LIME is piecewise-constant by construction,
     # so the segment view is the honest comparison granularity)
     pearson = _nan_safe_corr(shap_per_sample, lime_per_sample)
-    seg = max(1, n // max(1, ec.lime_num_segments))
-    n_seg = n // seg
-    seg_shap = shap_per_sample[: n_seg * seg].reshape(n_seg, seg).mean(axis=1)
-    seg_lime = lime_per_sample[: n_seg * seg].reshape(n_seg, seg).mean(axis=1)
+    # segment length must MATCH lime.py's ceil split, or the averaged
+    # windows drift off LIME's piecewise-constant boundaries
+    seg = max(1, -(-n // max(1, ec.lime_num_segments)))
+    n_seg = -(-n // seg)
+    pad = n_seg * seg - n
+    seg_shap = np.pad(shap_per_sample, (0, pad)).reshape(n_seg, seg)
+    seg_lime = np.pad(lime_per_sample, (0, pad)).reshape(n_seg, seg)
+    counts = np.minimum(seg, np.maximum(0, n - seg * np.arange(n_seg)))
+    seg_shap = seg_shap.sum(axis=1) / counts
+    seg_lime = seg_lime.sum(axis=1) / counts
     seg_pearson = _nan_safe_corr(seg_shap, seg_lime)
 
     result = {

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import weakref
 from typing import Any, Callable, Dict, Iterable, Iterator, Optional
 
 _SENTINEL = object()
@@ -99,7 +100,14 @@ def background_iterator(iterable: Iterable, maxsize: int = 2) -> Iterator:
                 except queue.Empty:
                     break
 
-    return _drain()
+    gen = _drain()
+    # A generator that is GC'd before its first next() never runs its
+    # finally block (Python skips GeneratorExit for unstarted generators),
+    # which with the eager producer start above would leak the thread
+    # blocked on q.put forever. The finalizer covers that window; after
+    # normal/closed iteration it just re-sets an already-set event.
+    weakref.finalize(gen, stop.set)
+    return gen
 
 
 def prefetch_to_device(

@@ -268,7 +268,12 @@ def run_shap_pipeline(
             t0 = time.perf_counter()
             try:
                 phis, confs, ids, keeps = step(params, xs, keys)
-                phis = np.asarray(phis)  # device->host once per group
+                # ALL device->host transfers inside the try: a worker crash
+                # can surface on any of them, and crash recovery must see it
+                phis = np.asarray(phis)
+                confs = np.asarray(confs)
+                ids = np.asarray(ids)
+                keeps = np.asarray(keeps)
             except Exception as e:
                 if (
                     params_host is not None
@@ -310,7 +315,6 @@ def run_shap_pipeline(
                 step = _build_group_step(cfg, mesh, g)
                 continue
             wall = time.perf_counter() - t0
-            confs, ids, keeps = np.asarray(confs), np.asarray(ids), np.asarray(keeps)
 
             for j, i in enumerate(idxs):
                 sample = test_set[i]

@@ -65,26 +65,31 @@ def eta_wer_sweep(
 
     # exact-length buckets (order preserved within a bucket); phi shape is
     # part of the bucket key so stores mixing explainer output shapes still
-    # group into consistent executables
-    samples = list(store.iter_samples())
+    # group into consistent executables. Bucketing reads only npy HEADERS
+    # (store.array_shape) — at ~110 MB of phi per 6 s clip, materializing an
+    # 80-sample store up front would cost ~10-20 GB of host RAM; full arrays
+    # load per batch group just-in-time below.
+    keys = [k for k in store.keys() if store.completed(k)]
     buckets: Dict[tuple, List[int]] = {}
-    for i, s in enumerate(samples):
+    for i, k in enumerate(keys):
         buckets.setdefault(
-            (len(s["audio"]), np.asarray(s["shap_values"]).shape), []
+            (store.array_shape(k, "audio")[0], store.array_shape(k, "shap_values")),
+            [],
         ).append(i)
 
-    records: List[Optional[Dict]] = [None] * len(samples)
+    records: List[Optional[Dict]] = [None] * len(keys)
     for (length, phi_shape), idxs in sorted(buckets.items()):
         for start in range(0, len(idxs), batch):
             group = idxs[start : start + batch]
+            samples = [store.load(keys[i]) for i in group]
             mixed = np.stack(
-                [np.asarray(samples[i]["audio"], np.float32) for i in group]
+                [np.asarray(s["audio"], np.float32) for s in samples]
             )
             noise = np.stack(
-                [np.asarray(samples[i]["noise"], np.float32) for i in group]
+                [np.asarray(s["noise"], np.float32) for s in samples]
             )
             phi = np.stack(
-                [np.asarray(samples[i]["shap_values"], np.float32) for i in group]
+                [np.asarray(s["shap_values"], np.float32) for s in samples]
             )
             clean = mixed - noise  # nraw_vs_wer.py:141-142
 
@@ -95,8 +100,7 @@ def eta_wer_sweep(
             ids, keep, etas = np.asarray(ids), np.asarray(keep), np.asarray(etas)
 
             for j, i in enumerate(group):
-                sample = samples[i]
-                key = sample["key"]
+                key = keys[i]
                 hyp = ctc_ids_to_text(ids[j], keep[j], vocab)
                 records[i] = {
                     "index": key.index,
@@ -104,7 +108,7 @@ def eta_wer_sweep(
                     "snr": key.snr,
                     "wer": float("nan"),  # filled by the batch WER pass
                     "eta_raw": float(etas[j]),
-                    "reference": sample["text"],
+                    "reference": samples[j]["text"],
                     "hypothesis": hyp,
                 }
         logger.info(

@@ -182,6 +182,10 @@ def train_synthetic(
     train_cfg = train_cfg or TrainConfig(
         learning_rate=3e-4, num_epochs=40, batch_size=8,
         early_stopping_patience=5, freeze_feature_encoder=False, seed=seed,
+        # clean training by default, matching the CLI's --train-snrs default:
+        # TrainConfig's own snrs_db default is the fine-tuning noise ladder
+        # (train_asr.py:112), which would silently augment library callers
+        snrs_db=(),
     )
     if train_cfg.freeze_feature_encoder:
         raise ValueError(

@@ -51,6 +51,15 @@ def _dummy_clips(n: int, max_len: int = 160_000):
     out = []
     for item in src:
         audio, text = item[0], item[1]
+        if len(item) == 3 and int(item[2]) != 16_000:
+            # same 3-tuple contract create_test_set honors (testset.py):
+            # pin transcripts from 16 kHz audio, not a mis-sampled stream
+            import jax.numpy as jnp
+
+            from asr_shap.audio.resample import resample
+
+            audio = np.asarray(resample(jnp.asarray(audio), int(item[2]),
+                                        16_000))
         out.append((np.asarray(audio[:max_len], np.float32), text))
         if len(out) >= n:
             break

@@ -154,3 +154,18 @@ def test_params_npz_carries_config(tmp_path):
     # weights-only archives stay loadable and report no config
     save_params(str(tmp_path / "bare.npz"), params)
     assert load_config(str(tmp_path / "bare.npz")) is None
+
+
+def test_train_rejects_conformer_arch():
+    """train drives the wav2vec2 CTC step only; --arch w2v2-conformer must
+    fail loudly instead of training a wav2vec2 and embedding the wrong
+    config in the archive."""
+    import pytest
+
+    from asr_shap.cli import build_parser, main
+
+    args = build_parser().parse_args(
+        ["train", "--arch", "w2v2-conformer", "--tiny", "--random-init"]
+    )
+    with pytest.raises(SystemExit, match="wav2vec2 only"):
+        args.fn(args)

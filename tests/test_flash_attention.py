@@ -172,3 +172,30 @@ def test_auto_dispatch_threshold(rng):
     ref = multi_head_attention(q, k, v, None, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
     assert AUTO_PALLAS_MIN_T > 256  # ASR frame counts stay on XLA
+
+
+def test_non_4d_bias_routes_to_xla_with_correct_grads(rng):
+    """Broadcastable non-4D biases must take the XLA path under
+    impl="pallas": the flash kernel's bias-cotangent unbroadcast assumes
+    rank 4, and the misaligned axes would return wrong-shaped gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from asr_shap.ops.attention import multi_head_attention
+
+    q = jnp.asarray(rng.standard_normal((2, 2, 8, 4)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 2, 8, 4)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 2, 8, 4)), jnp.float32)
+    bias2d = jnp.asarray(rng.standard_normal((8, 8)), jnp.float32)
+
+    def loss(impl):
+        return lambda b: multi_head_attention(q, k, v, bias=b, impl=impl).sum()
+
+    out_p = multi_head_attention(q, k, v, bias=bias2d, impl="pallas")
+    out_x = multi_head_attention(q, k, v, bias=bias2d, impl="xla")
+    np.testing.assert_allclose(out_p, out_x, atol=1e-5)
+
+    g_p = jax.grad(loss("pallas"))(bias2d)
+    g_x = jax.grad(loss("xla"))(bias2d)
+    assert g_p.shape == bias2d.shape
+    np.testing.assert_allclose(g_p, g_x, atol=1e-5)

@@ -268,3 +268,51 @@ def test_background_iterator_starts_eagerly():
     it = background_iterator(gen(), maxsize=2)
     assert produced.wait(timeout=5.0), "producer did not start before next()"
     assert list(it) == [1]
+
+
+def test_background_iterator_abandoned_before_start_releases_producer():
+    """An abandoned (never-started) background iterator must not leak its
+    eagerly-started producer thread blocked on a full queue."""
+    import gc
+    import threading
+    import time as _time
+
+    from asr_shap.pipeline.prefetch import background_iterator
+
+    before = threading.active_count()
+    gen = background_iterator(iter(range(1000)), maxsize=2)
+    _time.sleep(0.2)  # producer fills the queue and blocks on put
+    del gen
+    gc.collect()
+    deadline = _time.time() + 3.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() == before
+
+
+def test_load_config_ignores_unknown_fields(tmp_path):
+    """Archives outlive code: an embedded config field the current schema
+    no longer knows must be dropped with a warning, not crash the load."""
+    import json
+
+    import numpy as np
+
+    from asr_shap.core.config import Wav2Vec2Config
+    from asr_shap.core import params_io
+
+    path = str(tmp_path / "p.npz")
+    params_io.save_params(
+        path, {"w": np.zeros(2, np.float32)},
+        config=Wav2Vec2Config(hidden_size=32),
+    )
+    data = dict(np.load(path))
+    payload = json.loads(bytes(data[params_io._CONFIG_KEY]).decode())
+    payload["fields"]["field_renamed_in_a_future_version"] = 7
+    data[params_io._CONFIG_KEY] = np.frombuffer(
+        json.dumps(payload).encode(), dtype=np.uint8
+    )
+    np.savez(path, **data)
+
+    cfg = params_io.load_config(path)
+    assert cfg is not None and cfg.hidden_size == 32
+    assert not hasattr(cfg, "field_renamed_in_a_future_version")
