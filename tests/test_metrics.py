@@ -188,3 +188,39 @@ def test_batch_wer_length_mismatch():
 
     with _pytest.raises(ValueError):
         batch_wer(["a"], ["a", "b"])
+
+
+def test_committed_study_artifact_is_self_consistent():
+    """Guard the committed round-3 study (artifacts/study_r3/) against code
+    drift: recomputing the summary from records.jsonl with the CURRENT
+    sweep_summary must reproduce summary.json (correlations, per-SNR means,
+    clean/noisy split)."""
+    import json
+    import os
+
+    from asr_shap.pipeline.sweep import sweep_summary
+
+    base = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "study_r3")
+    rec_path = os.path.join(base, "records.jsonl")
+    sum_path = os.path.join(base, "summary.json")
+    if not (os.path.exists(rec_path) and os.path.exists(sum_path)):
+        import pytest
+
+        pytest.skip("study artifacts not present")
+    records = [json.loads(l) for l in open(rec_path)]
+    committed = json.load(open(sum_path))
+
+    assert len(records) == 80
+    s = sweep_summary(records)
+    assert abs(s["pearson_r_noisy"] - committed["pearson_r_noisy"]) < 1e-9
+    assert abs(s["pearson_r_all"] - committed["pearson_r_all"]) < 1e-9
+    assert s["n_noisy"] == committed["n_noisy"] == 60
+    assert s["n_clean"] == committed["n_clean"] == 20
+    for snr, stats in committed["per_snr"].items():
+        assert abs(s["per_snr"][snr]["mean_wer"] - stats["mean_wer"]) < 1e-9
+        assert abs(s["per_snr"][snr]["mean_eta_raw"]
+                   - stats["mean_eta_raw"]) < 1e-9
+    # the scientific shape itself: eta_raw falls monotonically with SNR
+    eta = [s["per_snr"][k]["mean_eta_raw"] for k in ("inf", "5", "2", "1")]
+    assert eta[0] > eta[1] > eta[2] > eta[3]
