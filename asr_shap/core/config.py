@@ -67,6 +67,10 @@ class Wav2Vec2Config:
     # dispatch: pallas at T >= ops.attention.AUTO_PALLAS_MIN_T, where XLA's
     # materialized [batch, H, T, T] probabilities become the bottleneck).
     attention_impl: str = "xla"
+    # Rematerialization policy when the caller requests remat: "full"
+    # (replay everything) or "dots" (jax.checkpoint_policies.dots_with_no_
+    # batch_dims_saveable — store matmul outputs, recompute elementwise).
+    remat_policy: str = "full"
     # Feature-encoder conv formulation: "lax" (fastest measured, r3_conv_ab),
     # "gemm" (stride-blocked GEMMs), "hybrid" (lax forward + GEMM backward —
     # required when the explainer batches >1 draw per executable, whose

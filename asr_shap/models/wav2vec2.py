@@ -401,7 +401,15 @@ def encoder(
         return _encoder_layer(layer, cfg, carry, bias, gelu), None
 
     if remat:
-        body = jax.checkpoint(body)
+        # remat_policy "dots": save matmul outputs, recompute only the
+        # elementwise ops — the explainer's forward runs at batch 1, so the
+        # saved activations are tiny (~20 MB for base) while the backward
+        # skips replaying the matmuls. "full" replays everything.
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if cfg.remat_policy == "dots" else None
+        )
+        body = jax.checkpoint(body, policy=policy)
     h, _ = lax.scan(body, h, params["encoder"]["layers"])
 
     if cfg.do_stable_layer_norm:

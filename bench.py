@@ -51,6 +51,12 @@ batching would amortize if the compile helper accepted dc>=4 programs.
 Day-to-day relay drift on identical programs is +-15-25% (1795 measured
 2026-08-16, 1430-1457 on 2026-08-17).
 
+Remat policy (r3_remat_ab, interleaved): "full" replay, the "dots" policy
+(store matmul outputs, recompute elementwise), and remat=False are all
+within noise (1272 / 1281 / 1246 passes/s) — consistent with the dispatch-
+overhead diagnosis: the replay's cost is op dispatch, not matmul FLOPs, so
+trading recompute for storage moves nothing. remat_policy stays "full".
+
 Env overrides: BENCH_AUDIO_LEN (default 48000), BENCH_NSAMPLES (default 32),
 BENCH_PRECISION, BENCH_DRAW_CHUNK, BENCH_ATTN, BENCH_TORCH_PASSES (default
 2), BENCH_SKIP_TORCH=1 to reuse the cached baseline in .bench_baseline.json.

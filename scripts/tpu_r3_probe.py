@@ -434,6 +434,70 @@ def probe_hybrid_chunks(fh):
         _emit(fh, rec)
 
 
+def probe_remat_ab(fh):
+    """Interleaved A/B of remat variants at the bench config: "full" replay,
+    "dots" policy (store matmul outputs, recompute elementwise), and
+    remat=False (store everything). The decomposition says the backward
+    carries a batch-1 replay-sized cost; if it is matmul replay, "dots"
+    should recover most of it."""
+    import dataclasses as _dc
+
+    import jax
+
+    from asr_shap.core.config import ExplainerConfig, Wav2Vec2Config
+    from asr_shap.explain.baselines import zeros_noise_background
+    from asr_shap.explain.expected_gradients import expected_gradients
+    from asr_shap.models.heads import make_explained_fn
+    from asr_shap.models.wav2vec2 import init_wav2vec2_params
+
+    import jax.numpy as jnp
+
+    base_cfg = Wav2Vec2Config(matmul_precision="default", dtype="bfloat16")
+    params = init_wav2vec2_params(jax.random.key(0), base_cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(48000).astype(np.float32))
+    bg = zeros_noise_background(jax.random.key(1), 48000, 5, 0.01)
+
+    variants = {
+        "remat_full": ("full", True),
+        "remat_dots": ("dots", True),
+        "no_remat": ("full", False),
+    }
+    runs = {}
+    for name, (policy, remat) in variants.items():
+        try:
+            cfg = _dc.replace(base_cfg, remat_policy=policy)
+            ecfg = ExplainerConfig(nsamples=32, draw_chunk=1, output_chunk=0,
+                                   num_background=5, remat=remat)
+
+            @jax.jit
+            def run(p, xx, kk, _cfg=cfg, _e=ecfg):
+                f = make_explained_fn(p, _cfg, _e)
+                return expected_gradients(f, xx, bg, kk, _e).values
+
+            compiled = run.lower(params, x, jax.random.key(2)).compile()
+            phi = compiled(params, x, jax.random.key(2))
+            _sync(phi)
+            runs[name] = compiled
+        except Exception as e:
+            _emit(fh, {"probe": "r3_remat_ab", "variant": name,
+                       "error": repr(e)[:300]})
+
+    walls = {n: [] for n in runs}
+    for i in range(4):
+        for name in runs:
+            t0 = time.perf_counter()
+            phi = runs[name](params, x, jax.random.key(10 + i))
+            _sync(phi)
+            walls[name].append(round(time.perf_counter() - t0, 3))
+    for name in runs:
+        w = min(walls[name])
+        _emit(fh, {"probe": "r3_remat_ab", "variant": name,
+                   "audio_len": 48000, "nsamples": 32, "dtype": "bfloat16",
+                   "walls_interleaved": walls[name], "wall_s": w,
+                   "passes_per_sec": round(32 * 149 / w, 1)})
+
+
 PROBES = {
     "chunks": probe_memory_and_chunks,
     "longseq": probe_long_seq_kernel,
@@ -441,6 +505,7 @@ PROBES = {
     "decomp": probe_decomposition,
     "convab": probe_conv_ab,
     "hybridchunks": probe_hybrid_chunks,
+    "rematab": probe_remat_ab,
 }
 
 

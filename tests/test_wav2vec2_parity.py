@@ -240,3 +240,35 @@ def test_conv1d_gemm_matches_lax(rng):
             np.testing.assert_allclose(dx, dx_lax, atol=2e-4, rtol=1e-4)
             dw = jax.vjp(lambda b: _conv1d(x, b, stride=s, impl=impl), w)[1](ct)[0]
             np.testing.assert_allclose(dw, dw_lax, atol=2e-3, rtol=1e-4)
+
+
+def test_remat_dots_policy_grads_match_full(rng):
+    """remat_policy="dots" (store matmul outputs, recompute elementwise)
+    must produce identical input gradients to the full-replay policy.
+    (Measured on the bench chip: throughput within noise of "full" —
+    r3_remat_ab rows — so "full" stays default; the knob is kept because
+    the tradeoff is memory-profile-dependent.)"""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from asr_shap.core.config import Wav2Vec2Config
+    from asr_shap.models.wav2vec2 import init_wav2vec2_params, wav2vec2_logits
+
+    cfg = Wav2Vec2Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, conv_dim=(32, 32), conv_stride=(5, 2),
+        conv_kernel=(10, 3), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, feat_proj_dim=32,
+    )
+    p = init_wav2vec2_params(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.standard_normal((1, 4000)), jnp.float32)
+
+    def grad_for(c):
+        return jax.grad(lambda xx: wav2vec2_logits(p, c, xx, remat=True).sum())(x)
+
+    g_full = grad_for(cfg)
+    g_dots = grad_for(dataclasses.replace(cfg, remat_policy="dots"))
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_dots),
+                               atol=1e-5)
