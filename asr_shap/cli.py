@@ -438,9 +438,36 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for every CLI entry point.
+
+    Full-model executables take 30-300 s to compile on TPU hosts with
+    remote compile services; the persistent cache turns every re-run,
+    resume-after-crash, and per-length sweep recompile into a disk hit
+    (measured cross-process: 93.2 s -> 0.9 s first call). Opt out with
+    ASR_SHAP_NO_COMPILE_CACHE=1; relocate with ASR_SHAP_COMPILE_CACHE."""
+    import os
+
+    if os.environ.get("ASR_SHAP_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "ASR_SHAP_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "asr_shap",
+                         "jax_compile"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception as e:  # cache is an optimization, never a hard fail
+        logging.getLogger(__name__).warning("compile cache disabled: %s", e)
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(levelname)s - %(message)s")
+    _enable_compile_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 
