@@ -30,6 +30,35 @@ def add_white_noise_at_snr(
     return audio + noise, noise
 
 
+def colored_noise(key: jax.Array, n: int, alpha: float = 1.0) -> jnp.ndarray:
+    """Unit-variance noise with power spectral density proportional to
+    1/f^alpha (alpha=1: pink, alpha=2: brown), via FFT spectrum shaping of
+    seeded white noise. The reference's training design contemplates
+    non-white noise sources (CHiME/SSN/network noise, train_asr.py:19-104);
+    this is the stationary colored member of that family for stressing
+    eta_raw's speech-dominance logic beyond white noise."""
+    white = jax.random.normal(key, (n,), dtype=jnp.float32)
+    spec = jnp.fft.rfft(white)
+    f = jnp.fft.rfftfreq(n)
+    scale = jnp.where(f > 0, jnp.where(f > 0, f, 1.0) ** (-alpha / 2.0), 0.0)
+    out = jnp.fft.irfft(spec * scale, n).astype(jnp.float32)
+    return out / (jnp.std(out) + 1e-12)
+
+
+def scale_noise_to_snr(
+    audio: jnp.ndarray, noise: jnp.ndarray, snr_db: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scale an arbitrary noise signal so the mix sits at ``snr_db`` and
+    return (noisy_audio, scaled_noise) — the add_white_noise_at_snr contract
+    (noise kept as ITM ground truth) generalized to any noise source."""
+    audio = audio.astype(jnp.float32)
+    noise = noise.astype(jnp.float32)
+    p_s = jnp.mean(jnp.square(audio))
+    p_n = jnp.maximum(jnp.mean(jnp.square(noise)), 1e-12)
+    scaled = noise * jnp.sqrt(p_s / (p_n * (10.0 ** (snr_db / 10.0))))
+    return audio + scaled, scaled
+
+
 def mix_at_snr(
     speech: jnp.ndarray, noise: jnp.ndarray, snr_db: float
 ) -> jnp.ndarray:

@@ -129,7 +129,7 @@ def cmd_run_shap(args):
     params, cfg = _load_model(args)
     tcfg = TestSetConfig(num_samples=args.num_samples, snrs_db=tuple(args.snrs),
                          min_length=args.min_length, max_length=args.max_length,
-                         seed=args.seed)
+                         seed=args.seed, noise_kind=args.noise_kind)
     pcfg = PipelineConfig(
         model=cfg,
         explainer=ExplainerConfig(nsamples=args.nsamples,
@@ -248,7 +248,7 @@ def cmd_compare(args):
         nsamples=args.nsamples,
         lime_num_samples=args.lime_samples,
         lime_num_segments=args.lime_segments,
-        lime_mask_prob=args.lime_keep_prob,
+        lime_keep_prob=args.lime_keep_prob,
         lime_ridge_alpha=args.ridge_alpha,
     )
     logits_fn = None
@@ -328,6 +328,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--snrs", type=float, nargs="+", default=[5.0, 2.0, 1.0])
     p.add_argument("--min-length", type=int, default=100_000)
     p.add_argument("--max-length", type=int, default=0)
+    p.add_argument("--noise-kind", choices=["white", "pink", "babble"],
+                   default="white",
+                   help="noise family mixed at each SNR (white = the "
+                        "reference mechanism; babble = overlapped synthetic "
+                        "speakers, the speech-shaped stress case for "
+                        "eta_raw)")
     p.add_argument("--nsamples", type=int, default=200)
     p.add_argument("--draw-chunk", type=int, default=1)
     p.add_argument("--output-chunk", type=int, default=128,
@@ -335,8 +341,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "T_frames at once — fastest when it fits; the "
                         "default bounds backward memory so reference-length "
                         "clips >=100k samples don't overrun a 16 GB chip)")
-    p.add_argument("--sample-batch", type=int, default=4,
-                   help="samples explained per jitted call (1 = serial)")
+    p.add_argument("--sample-batch", type=int, default=0,
+                   help="samples explained per jitted call (0 = length-"
+                        "adaptive auto: 2 under 100k samples, 1 above — "
+                        "the measured optimum; 1 = serial)")
     p.add_argument("--async-writes", action="store_true",
                    help="write npy files through the native C++ writer pool "
                         "(overlaps disk IO with device compute)")
@@ -438,36 +446,12 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache for every CLI entry point.
-
-    Full-model executables take 30-300 s to compile on TPU hosts with
-    remote compile services; the persistent cache turns every re-run,
-    resume-after-crash, and per-length sweep recompile into a disk hit
-    (measured cross-process: 93.2 s -> 0.9 s first call). Opt out with
-    ASR_SHAP_NO_COMPILE_CACHE=1; relocate with ASR_SHAP_COMPILE_CACHE."""
-    import os
-
-    if os.environ.get("ASR_SHAP_NO_COMPILE_CACHE"):
-        return
-    try:
-        import jax
-
-        cache_dir = os.environ.get(
-            "ASR_SHAP_COMPILE_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "asr_shap",
-                         "jax_compile"),
-        )
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-    except Exception as e:  # cache is an optimization, never a hard fail
-        logging.getLogger(__name__).warning("compile cache disabled: %s", e)
-
-
 def main(argv=None):
+    from asr_shap.utils.jax_cache import enable_compile_cache
+
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(levelname)s - %(message)s")
-    _enable_compile_cache()
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 

@@ -202,7 +202,10 @@ class ExplainerConfig:
     # LIME-vs-SHAP comparison harness (pipeline/compare.py) and the
     # ``compare`` CLI subcommand.
     lime_num_samples: int = 500
-    lime_mask_prob: float = 0.5
+    # Probability a coalition segment is KEPT (not masked) in a LIME
+    # perturbation — passed straight to lime_attributions(keep_prob=...).
+    # 0.9 means 90% of segments survive each draw, i.e. 10% masking.
+    lime_keep_prob: float = 0.5
     lime_ridge_alpha: float = 1.0
     lime_num_segments: int = 64  # coalition features over the waveform
     # DeepSHAP background summarization (w2v2conformer.py:134-137:
@@ -224,6 +227,13 @@ class TestSetConfig:
     max_length: int = 0              # 0 = no truncation
     sample_rate: int = 16_000
     seed: int = 0
+    # Noise family mixed at each SNR: "white" (the reference's mechanism,
+    # shap_calculation.py:55-60), "pink" (1/f colored), "babble"
+    # (overlapped synthetic speakers — speech-shaped, the adversarial case
+    # for eta_raw's speech-dominance logic; train_asr.py:19-104 contemplates
+    # CHiME/babble-type sources). Non-white kinds keep the same
+    # (noisy, noise) ground-truth contract via scale_noise_to_snr.
+    noise_kind: str = "white"
 
 
 TestSetConfig.__test__ = False  # keep pytest from collecting the dataclass
@@ -292,10 +302,12 @@ class PipelineConfig:
     data_dir: str = "data"
     seed: int = 0
     # Samples explained per jitted call (fixed-size groups within an
-    # exact-length bucket; one executable per audio length). 1 = serial.
-    # On hosts whose compile service rejects large programs (see
-    # artifacts/bench_sweep_tpu.jsonl), set 1 for full-size models.
-    sample_batch: int = 4
+    # exact-length bucket; one executable per audio length). 0 = length-
+    # adaptive auto: 2 for clips under 100k samples, 1 at reference length —
+    # the measured optimum (r3_scan_groups: g=2 is 27% faster per sample
+    # than g=4, and g=4 crashed the bench TPU worker on >=118k-sample
+    # clips). 1 = serial; explicit N forces N everywhere.
+    sample_batch: int = 0
     # Elastic recovery from device-runtime loss (TPU worker crash/restart):
     # the pipeline keeps a host copy of the params, waits crash_backoff_s *
     # attempt, re-stages, and continues the run in-process. 0 disables (and

@@ -137,13 +137,27 @@ def deep_shap_values(
     background set (DeepExplainer semantics).
     """
 
-    def phi_for(ref):
+    # lax.scan over background rows, NOT vmap: vmapping the Jacobian
+    # machinery multiplies both the compiled program and the backward batch
+    # by B, which is what pushed full-model dual programs past the bench
+    # host's compile helper above ~50k-sample clips (r3). The scanned body
+    # stays single-row sized, and the phi mean accumulates in f32 on device
+    # instead of materializing the [B, T, N] stack (~625 MB at reference
+    # length with B=5).
+    t_out = jax.eval_shape(
+        lambda xx: f_dual(dual(xx, background[0])), x
+    ).shape[0]
+
+    def step(acc, ref):
         g = lambda xx: f_dual(dual(xx, ref))
         jac = _jacobian(g, x, output_chunk)          # [T, N] of multipliers
-        return jac * (x - ref)[None, :]
+        phi_r = jac * (x - ref)[None, :]
+        return acc + phi_r.astype(jnp.float32), None
 
-    phis = jax.vmap(phi_for)(background)             # [B, T, N]
-    phi = jnp.mean(phis, axis=0).T                   # [N, T]
+    acc, _ = jax.lax.scan(
+        step, jnp.zeros((t_out, x.shape[0]), jnp.float32), background
+    )
+    phi = (acc / background.shape[0]).T              # [N, T]
 
     fx = f_dual(dual(x, x))
     base = jnp.mean(jax.vmap(lambda r: f_dual(dual(r, r)))(background), axis=0)

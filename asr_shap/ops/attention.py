@@ -71,6 +71,14 @@ def multi_head_attention(
     impl: "xla" (reference path), "pallas" (flash kernel; supports both
     [B, 1, 1, T] masks and differentiable [B, H, T, T] score biases), or
     "auto" (length-based dispatch: pallas for T >= AUTO_PALLAS_MIN_T).
+
+    Gradient contract for ``bias``: a [B, H, T, T] bias is differentiable on
+    every path. A [B, 1, 1, T] bias is treated as a CONSTANT padding mask by
+    the pallas kernel (its cotangent is zero), while the XLA path propagates
+    real gradients — so under impl="auto" the bias-gradient semantics for
+    that shape flip at the T threshold. The only in-tree producer of that
+    shape is the non-differentiated length mask; a future differentiable
+    rank-1 bias must use the [B, H, T, T] form (broadcast it) or impl="xla".
     """
     if impl == "auto":
         impl = "pallas" if q.shape[2] >= AUTO_PALLAS_MIN_T else "xla"

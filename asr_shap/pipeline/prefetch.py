@@ -45,7 +45,11 @@ def background_iterator(iterable: Iterable, maxsize: int = 2) -> Iterator:
 
     The producer thread starts HERE (not on first ``next``), so up to
     ``maxsize`` items are already being produced before the consumer begins
-    iterating — the 'depth steps ahead' contract of prefetch_to_device."""
+    iterating — the 'depth steps ahead' contract of prefetch_to_device.
+    Consequence: up to ``maxsize``+1 items are CONSUMED from ``iterable`` at
+    construction time, even if the returned iterator is never advanced — do
+    not hand in an iterator you also plan to keep reading elsewhere, and do
+    not construct this speculatively over a source whose items are precious."""
     q: "queue.Queue" = queue.Queue(maxsize=maxsize)
     stop = threading.Event()
 

@@ -70,7 +70,19 @@ def _is_device_unavailable(e: Exception) -> bool:
     """True for runtime-loss errors (TPU worker crash/restart), where the
     right reaction is wait + re-stage, not shrink the program. Compile-time
     rejections (RESOURCE_EXHAUSTED, HTTP 500 from a compile service) are NOT
-    matched — those need a smaller executable, handled separately."""
+    matched — those need a smaller executable, handled separately.
+
+    Only ``XlaRuntimeError`` (the type the runtime raises for device loss)
+    is inspected; arbitrary exceptions that merely carry the word
+    UNAVAILABLE (e.g. a transient gRPC failure surfacing as a ValueError
+    from a compile relay) must not trigger minutes of crash backoff."""
+    try:
+        from jaxlib.xla_extension import XlaRuntimeError
+    except Exception:  # jaxlib layout changed: fall back to the name check
+        XlaRuntimeError = ()
+    if XlaRuntimeError and not isinstance(e, XlaRuntimeError):
+        if type(e).__name__ != "XlaRuntimeError":
+            return False
     s = repr(e)
     return "UNAVAILABLE" in s or "crashed or restarted" in s
 
@@ -134,12 +146,25 @@ def _sample_step(cfg: PipelineConfig, mesh=None):
     return step
 
 
-def _group_size(cfg: PipelineConfig, mesh) -> int:
-    """Fixed sample-group size: every group compiles to the SAME executable
-    per audio length (variable bucket sizes would recompile on resume).
-    Policy: no mesh -> cfg sample_batch; mesh -> sample_batch rounded to a
-    multiple of the axis size when possible, else 1 (draw-sharded)."""
-    g = max(1, cfg.sample_batch)
+def _auto_group_size(length: int) -> int:
+    """Length-adaptive sample group size (``PipelineConfig.sample_batch=0``).
+
+    Measured on the bench v5e (r3_scan_groups + r4_group_len rows in
+    artifacts/bench_sweep_tpu.jsonl): g=2 beats g=4 by 27% per sample, and
+    g=4 x output_chunk=128 programs on >=118k-sample clips crashed the TPU
+    worker outright twice in the r3 study run (artifacts/study_r3/README.md
+    operational notes). Policy: pair short clips, run reference-length
+    (>=100k-sample) clips one per executable."""
+    return 2 if length < 100_000 else 1
+
+
+def _group_size(cfg: PipelineConfig, mesh, length: int) -> int:
+    """Fixed sample-group size for one exact-length bucket: every group in
+    the bucket compiles to the SAME executable (variable group sizes would
+    recompile on resume). Policy: no mesh -> cfg sample_batch (0 = the
+    length-adaptive auto policy); mesh -> the group rounded to a multiple of
+    the axis size when possible, else 1 (draw-sharded)."""
+    g = cfg.sample_batch if cfg.sample_batch > 0 else _auto_group_size(length)
     if mesh is None:
         return g
     ndev = int(np.prod(mesh.devices.shape[:1]))
@@ -221,8 +246,9 @@ def run_shap_pipeline(
     samples of that length run as one batched (or mesh-sharded) call.
     """
     store = store or AttributionStore(cfg.data_dir)
-    g = _group_size(cfg, mesh)
-    step = _build_group_step(cfg, mesh, g)
+    steps: Dict[int, object] = {}  # group size -> jitted step (per-length
+    #                                executables live inside each jit cache)
+    g_cap = 0  # set to 1 by the crash/compile fallbacks; caps later buckets
     key = jax.random.key(cfg.seed)
 
     # elastic recovery (SURVEY.md section 5 failure detection): a TPU worker
@@ -251,6 +277,12 @@ def run_shap_pipeline(
 
     results = []
     for length in sorted(buckets):
+        g = _group_size(cfg, mesh, length)
+        if g_cap:
+            g = min(g, g_cap)
+        if g not in steps:
+            steps[g] = _build_group_step(cfg, mesh, g)
+        step = steps[g]
         bucket = buckets[length]
         groups = [bucket[s : s + g] for s in range(0, len(bucket), g)]
         while groups:
@@ -289,16 +321,17 @@ def run_shap_pipeline(
                     )
                     time.sleep(wait)
                     jax.clear_caches()  # drop executables bound to the dead runtime
+                    steps.clear()
                     params = jax.device_put(params_host)
                     key = jax.random.key(cfg.seed)
                     if g > 1:
                         # the crash was likely the grouped program's memory:
                         # continue one sample per call, conservatively
                         groups = [[i] for grp in [idxs] + groups for i in grp]
-                        g = 1
+                        g = g_cap = 1
                     else:
                         groups.insert(0, idxs)
-                    step = _build_group_step(cfg, mesh, g)
+                    steps[g] = step = _build_group_step(cfg, mesh, g)
                     continue
                 if g == 1:
                     raise
@@ -311,8 +344,10 @@ def run_shap_pipeline(
                     g, type(e).__name__, e,
                 )
                 groups = [[i] for grp in [idxs] + groups for i in grp]
-                g = 1
-                step = _build_group_step(cfg, mesh, g)
+                g = g_cap = 1
+                if g not in steps:
+                    steps[g] = _build_group_step(cfg, mesh, g)
+                step = steps[g]
                 continue
             wall = time.perf_counter() - t0
 

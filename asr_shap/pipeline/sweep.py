@@ -158,10 +158,98 @@ def correlation(records: List[Dict], include_clean: bool = False) -> Optional[fl
     return float(np.corrcoef(w, e)[0, 1])
 
 
-def sweep_summary(records: List[Dict]) -> Dict:
+def _avg_ranks(a: np.ndarray) -> np.ndarray:
+    """Average ranks (1-based) with ties sharing their mean rank — the
+    tie treatment Spearman's rho requires. scipy.stats.rankdata(method=
+    "average") semantics, implemented here so scipy stays optional."""
+    sorter = np.argsort(a, kind="mergesort")
+    inv = np.empty_like(sorter)
+    inv[sorter] = np.arange(len(a))
+    sa = a[sorter]
+    run_start = np.r_[True, sa[1:] != sa[:-1]]
+    dense = run_start.cumsum()[inv]  # 1-based dense rank per element
+    bounds = np.r_[np.nonzero(run_start)[0], len(a)]
+    # run occupying sorted positions [bounds[d-1], bounds[d]) has average
+    # 1-based rank (bounds[d-1]+1 + bounds[d]) / 2
+    return 0.5 * (bounds[dense - 1] + 1 + bounds[dense])
+
+
+def _pearson(w: np.ndarray, e: np.ndarray) -> float:
+    return float(np.corrcoef(w, e)[0, 1])
+
+
+def correlation_stats(
+    w: np.ndarray,
+    e: np.ndarray,
+    n_boot: int = 5_000,
+    n_perm: int = 10_000,
+    seed: int = 0,
+) -> Dict:
+    """Defensible correlation statistics for the eta_raw-vs-WER sweep:
+    Pearson r AND Spearman rho (the WER axis is heavily tied at 0, which
+    makes Pearson alone misleading — VERDICT r3 weak #1), each with a
+    seeded two-sided permutation p-value and a seeded bootstrap 95%
+    percentile CI. Pure numpy; n is sweep-sized (tens to hundreds), so the
+    resampling is milliseconds."""
+    w = np.asarray(w, np.float64)
+    e = np.asarray(e, np.float64)
+    n = len(w)
+    out: Dict = {"n": n}
+    if n < 3 or w.std() == 0 or e.std() == 0:
+        out.update({"pearson_r": None, "spearman_rho": None})
+        return out
+
+    rw, re_ = _avg_ranks(w), _avg_ranks(e)
+    out["pearson_r"] = _pearson(w, e)
+    out["spearman_rho"] = _pearson(rw, re_)
+
+    rng = np.random.default_rng(seed)
+
+    def _perm_p(a: np.ndarray, b: np.ndarray, observed: float) -> float:
+        za = (a - a.mean()) / a.std()
+        zb = (b - b.mean()) / b.std()
+        # permuting b relative to a; r = mean(za * zb_perm) per permutation
+        idx = np.argsort(rng.random((n_perm, n)), axis=1)
+        r_perm = (zb[idx] @ za) / n
+        return float((1 + np.sum(np.abs(r_perm) >= abs(observed) - 1e-12))
+                     / (1 + n_perm))
+
+    def _boot_ci(a: np.ndarray, b: np.ndarray, rank: bool) -> list:
+        idx = rng.integers(0, n, size=(n_boot, n))
+        rs = np.empty(n_boot)
+        for i in range(n_boot):
+            ai, bi = a[idx[i]], b[idx[i]]
+            if rank:
+                ai, bi = _avg_ranks(ai), _avg_ranks(bi)
+            if ai.std() == 0 or bi.std() == 0:
+                rs[i] = np.nan  # degenerate resample (e.g. all-zero WER)
+                continue
+            rs[i] = _pearson(ai, bi)
+        lo, hi = np.nanpercentile(rs, [2.5, 97.5])
+        return [float(lo), float(hi)]
+
+    out["pearson_p"] = _perm_p(w, e, out["pearson_r"])
+    # ranks are permutation-invariant: Spearman's permutation test is the
+    # Pearson test on the rank vectors
+    out["spearman_p"] = _perm_p(rw, re_, out["spearman_rho"])
+    out["pearson_ci95"] = _boot_ci(w, e, rank=False)
+    out["spearman_ci95"] = _boot_ci(w, e, rank=True)
+    out["n_boot"] = n_boot
+    out["n_perm"] = n_perm
+    out["stats_seed"] = seed
+    return out
+
+
+def sweep_summary(
+    records: List[Dict],
+    n_boot: int = 5_000,
+    n_perm: int = 10_000,
+    seed: int = 0,
+) -> Dict:
     """Aggregate view of a sweep: the noisy-row correlation (the defensible
-    statistic), the all-row correlation (the reference's, kept for
-    comparability), and per-SNR means of WER and eta_raw."""
+    statistic) with Spearman/permutation-p/bootstrap-CI companions, the
+    all-row correlation (the reference's, kept for comparability), and
+    per-SNR means of WER and eta_raw."""
     noisy = [r for r in records if not _is_clean(r)]
     by_snr: Dict[str, List[Dict]] = {}
     for r in records:
@@ -174,10 +262,23 @@ def sweep_summary(records: List[Dict]) -> Dict:
         }
         for snr, rs in sorted(by_snr.items())
     }
+    pts = [
+        (r["wer"], r["eta_raw"]) for r in noisy if np.isfinite(r["wer"])
+    ]
+    stats: Dict = {}
+    if len(pts) >= 3:
+        w, e = np.asarray(pts).T
+        cs = correlation_stats(w, e, n_boot=n_boot, n_perm=n_perm, seed=seed)
+        # "pearson_r" is excluded: the headline pearson_r_noisy below is the
+        # same statistic computed by correlation() (identical point set)
+        stats = {f"{k}_noisy": v for k, v in cs.items()
+                 if k not in ("n", "pearson_r")}
+        stats["n_noisy_wer_gt0"] = int(np.sum(w > 0))
     return {
         "pearson_r_noisy": correlation(records),
         "pearson_r_all": correlation(records, include_clean=True),
         "n_noisy": len(noisy),
         "n_clean": len(records) - len(noisy),
         "per_snr": per_snr,
+        **stats,
     }

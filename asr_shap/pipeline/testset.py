@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from asr_shap.audio.noise import add_white_noise_at_snr
+from asr_shap.audio.noise import (
+    add_white_noise_at_snr,
+    colored_noise,
+    scale_noise_to_snr,
+)
 from asr_shap.audio.resample import resample
 from asr_shap.core.config import TestSetConfig
 from asr_shap.core.prng import fold
@@ -53,6 +57,35 @@ def synthetic_speech(key: jax.Array, n: int, sr: int = 16_000) -> np.ndarray:
     sig = (voiced * env + asp) * gate
     sig = sig / (jnp.max(jnp.abs(sig)) + 1e-9) * 0.5
     return np.asarray(sig, dtype=np.float32)
+
+
+def babble_noise(
+    key: jax.Array, n: int, num_speakers: int = 6, sr: int = 16_000
+) -> np.ndarray:
+    """Speech-shaped noise: ``num_speakers`` independent synthetic-speech
+    streams (distinct pitch tracks, envelopes, and pause structure per key)
+    overlapped and normalized to unit variance. The adversarial noise family
+    for eta_raw — its segments carry harmonic speech structure, so the
+    speech/noise-dominance ITM is measured against competition that *looks*
+    like speech (the CHiME/babble case of train_asr.py:19-104)."""
+    keys = jax.random.split(key, num_speakers)
+    mix = np.zeros(n, np.float32)
+    for i in range(num_speakers):
+        s = synthetic_speech(keys[i], n, sr)
+        # decorrelate pause structure across speakers with a seeded shift
+        shift = int(jax.random.randint(fold(keys[i], 1), (), 0, max(1, n)))
+        mix += np.roll(s, shift)
+    return mix / (mix.std() + 1e-12)
+
+
+def make_noise_signal(key: jax.Array, n: int, kind: str) -> jnp.ndarray:
+    """Unit-scale noise of the configured family (TestSetConfig.noise_kind);
+    scaled to the target SNR by the caller via scale_noise_to_snr."""
+    if kind == "pink":
+        return colored_noise(key, n, alpha=1.0)
+    if kind == "babble":
+        return jnp.asarray(babble_noise(key, n))
+    raise ValueError(f"unknown noise kind {kind!r} (white|pink|babble)")
 
 
 # ----------------------------------------------------------------------
@@ -261,9 +294,16 @@ def create_test_set(
             }
         )
         for j, snr in enumerate(cfg.snrs_db):
-            noisy, noise = add_white_noise_at_snr(
-                fold(key, count, j), jnp.asarray(audio), snr
-            )
+            if cfg.noise_kind == "white":
+                # the reference mechanism, kept as the bitwise-stable default
+                noisy, noise = add_white_noise_at_snr(
+                    fold(key, count, j), jnp.asarray(audio), snr
+                )
+            else:
+                raw = make_noise_signal(
+                    fold(key, count, j), len(audio), cfg.noise_kind
+                )
+                noisy, noise = scale_noise_to_snr(jnp.asarray(audio), raw, snr)
             test_set.append(
                 {
                     "type": "noisy",

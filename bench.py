@@ -81,6 +81,12 @@ def measure_ours() -> tuple[float, int]:
     import jax
     import jax.numpy as jnp
 
+    from asr_shap.utils.jax_cache import enable_compile_cache
+
+    # warmup-only effect: the timed reps never include compiles, but the
+    # persistent cache turns the 30-300 s first-compile into a disk hit
+    enable_compile_cache()
+
     from asr_shap.core.config import ExplainerConfig, Wav2Vec2Config
     from asr_shap.explain.baselines import zeros_noise_background
     from asr_shap.explain.expected_gradients import expected_gradients

@@ -20,6 +20,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from asr_shap.utils.jax_cache import enable_compile_cache  # noqa: E402
+
+# probe iteration re-runs near-identical programs; without the persistent
+# cache each rerun pays 30-300 s of remote compile (the r3_chunk_grid rows
+# paid 285 s and 253 s for the SAME dc=1 program twice)
+enable_compile_cache()
+
 OUT = os.path.join(os.path.dirname(__file__), "..", "artifacts",
                    "bench_sweep_tpu.jsonl")
 

@@ -99,3 +99,82 @@ def test_log_mel_shapes_and_tone_peak():
     # db variant is bounded at [-80, 0]
     db = np.asarray(log_mel_spectrogram(x, sr=sr, log="db"))
     assert db.max() <= 0.0 + 1e-6 and db.min() >= -80.0 - 1e-6
+
+
+# ------------------------------------------------------------- noise families
+
+def test_colored_noise_spectrum_slope():
+    """Pink noise (alpha=1): log-log PSD slope ~= -1; unit variance; seeded."""
+    import jax
+    from asr_shap.audio.noise import colored_noise
+
+    n = 1 << 15
+    x = np.asarray(colored_noise(jax.random.key(0), n, alpha=1.0))
+    assert x.shape == (n,)
+    assert abs(float(x.std()) - 1.0) < 1e-3
+    psd = np.abs(np.fft.rfft(x)) ** 2
+    f = np.fft.rfftfreq(n)
+    # fit the slope over the mid band (away from DC kill and Nyquist)
+    band = (f > 1e-3) & (f < 0.3)
+    slope = np.polyfit(np.log(f[band]), np.log(psd[band]), 1)[0]
+    assert -1.5 < slope < -0.5, slope
+    # determinism
+    y = np.asarray(colored_noise(jax.random.key(0), n, alpha=1.0))
+    np.testing.assert_array_equal(x, y)
+
+
+def test_scale_noise_to_snr_hits_target():
+    import jax
+    import jax.numpy as jnp
+    from asr_shap.audio.noise import colored_noise, scale_noise_to_snr
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal(8000).astype(np.float32)) * 0.3
+    for snr in (5.0, 0.0, -2.0):
+        noisy, noise = scale_noise_to_snr(
+            audio, colored_noise(jax.random.key(1), 8000), snr
+        )
+        achieved = 10.0 * np.log10(
+            float(jnp.mean(audio**2)) / float(jnp.mean(noise**2))
+        )
+        assert abs(achieved - snr) < 0.05, (snr, achieved)
+        np.testing.assert_allclose(np.asarray(noisy),
+                                   np.asarray(audio + noise), rtol=1e-6)
+
+
+def test_babble_noise_is_speech_shaped():
+    """Babble = overlapped synthetic speakers: unit variance, deterministic,
+    and concentrated at speech fundamentals (well below Nyquist) unlike
+    white noise's flat spectrum."""
+    import jax
+    from asr_shap.pipeline.testset import babble_noise
+
+    n = 32_000
+    x = babble_noise(jax.random.key(3), n)
+    assert abs(float(x.std()) - 1.0) < 1e-3
+    np.testing.assert_array_equal(x, babble_noise(jax.random.key(3), n))
+    psd = np.abs(np.fft.rfft(x)) ** 2
+    f = np.fft.rfftfreq(n, d=1 / 16_000)
+    low = psd[(f > 50) & (f < 2000)].mean()
+    high = psd[f > 6000].mean()
+    assert low > 10 * high  # energy lives in the speech band
+
+
+def test_create_test_set_noise_kinds():
+    """noise_kind plumbs through: the persisted noise signal reconstructs the
+    clean clip (mixed - noise) and sits at the requested SNR for every kind."""
+    from asr_shap.core.config import TestSetConfig
+    from asr_shap.pipeline.testset import create_test_set
+
+    for kind in ("white", "pink", "babble"):
+        cfg = TestSetConfig(num_samples=1, snrs_db=(2.0,), min_length=8000,
+                            max_length=8000, noise_kind=kind, seed=0)
+        ts = create_test_set(cfg)
+        assert [s["type"] for s in ts] == ["clean", "noisy"]
+        clean, noisy = ts[0], ts[1]
+        rec = noisy["audio"] - noisy["noise"]
+        np.testing.assert_allclose(rec, clean["audio"], atol=1e-5)
+        achieved = 10.0 * np.log10(
+            (clean["audio"] ** 2).mean() / (noisy["noise"] ** 2).mean()
+        )
+        assert abs(achieved - 2.0) < 0.1, (kind, achieved)

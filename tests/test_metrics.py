@@ -224,3 +224,95 @@ def test_committed_study_artifact_is_self_consistent():
     # the scientific shape itself: eta_raw falls monotonically with SNR
     eta = [s["per_snr"][k]["mean_eta_raw"] for k in ("inf", "5", "2", "1")]
     assert eta[0] > eta[1] > eta[2] > eta[3]
+
+
+# ----------------------------------------------------- correlation statistics
+
+def test_avg_ranks_ties():
+    from asr_shap.pipeline.sweep import _avg_ranks
+
+    # [0, 0, 0, 1, 2]: the three zeros share rank (1+2+3)/3 = 2
+    np.testing.assert_allclose(
+        _avg_ranks(np.array([0.0, 0.0, 0.0, 1.0, 2.0])),
+        [2.0, 2.0, 2.0, 4.0, 5.0],
+    )
+    # unsorted input with a two-way tie
+    np.testing.assert_allclose(
+        _avg_ranks(np.array([3.0, 1.0, 3.0, 2.0])),
+        [3.5, 1.0, 3.5, 2.0],
+    )
+
+
+def test_avg_ranks_matches_scipy():
+    scipy_stats = pytest.importorskip("scipy.stats")
+    from asr_shap.pipeline.sweep import _avg_ranks
+
+    rng = np.random.default_rng(0)
+    a = np.round(rng.normal(size=200), 1)  # rounding forces ties
+    np.testing.assert_allclose(_avg_ranks(a), scipy_stats.rankdata(a))
+
+
+def test_correlation_stats_signal_and_null():
+    from asr_shap.pipeline.sweep import correlation_stats
+
+    rng = np.random.default_rng(1)
+    n = 60
+    # correlated pair with zero-inflated w (the sweep's WER shape)
+    w = np.maximum(0.0, rng.normal(0.1, 0.15, n))
+    e = 1.0 - 0.8 * w + 0.05 * rng.normal(size=n)
+    s = correlation_stats(w, e, n_boot=500, n_perm=2000, seed=0)
+    assert s["pearson_r"] < -0.5 and s["spearman_rho"] < -0.4
+    assert s["pearson_p"] < 0.01 and s["spearman_p"] < 0.01
+    lo, hi = s["pearson_ci95"]
+    assert lo <= s["pearson_r"] <= hi and hi < 0  # interval excludes 0
+
+    # independent pair: p should be large, CI should straddle 0
+    e0 = rng.normal(size=n)
+    s0 = correlation_stats(w, e0, n_boot=500, n_perm=2000, seed=0)
+    assert s0["pearson_p"] > 0.05
+    lo0, hi0 = s0["pearson_ci95"]
+    assert lo0 < 0 < hi0
+
+
+def test_correlation_stats_matches_scipy_spearman():
+    scipy_stats = pytest.importorskip("scipy.stats")
+    from asr_shap.pipeline.sweep import correlation_stats
+
+    rng = np.random.default_rng(2)
+    w = np.maximum(0.0, rng.normal(0.05, 0.1, 80))  # heavy ties at 0
+    e = rng.normal(size=80)
+    s = correlation_stats(w, e, n_boot=10, n_perm=10, seed=0)
+    rho, _ = scipy_stats.spearmanr(w, e)
+    assert s["spearman_rho"] == pytest.approx(rho, abs=1e-12)
+
+
+def test_correlation_stats_determinism_and_degenerate():
+    from asr_shap.pipeline.sweep import correlation_stats
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=30)
+    e = rng.normal(size=30)
+    a = correlation_stats(w, e, n_boot=200, n_perm=200, seed=7)
+    b = correlation_stats(w, e, n_boot=200, n_perm=200, seed=7)
+    assert a == b  # fully seeded
+    # constant axis -> no statistics, no crash
+    d = correlation_stats(np.zeros(30), e)
+    assert d["pearson_r"] is None and d["spearman_rho"] is None
+
+
+def test_sweep_summary_carries_stats():
+    from asr_shap.pipeline.sweep import sweep_summary
+
+    rng = np.random.default_rng(4)
+    records = []
+    for i in range(40):
+        wer_val = float(max(0.0, rng.normal(0.1, 0.1)))
+        records.append({"snr": 1.0, "wer": wer_val,
+                        "eta_raw": 0.8 - 0.5 * wer_val})
+    records.append({"snr": "inf", "wer": 0.0, "eta_raw": 1.0})
+    s = sweep_summary(records, n_boot=200, n_perm=500, seed=0)
+    for k in ("spearman_rho_noisy", "pearson_p_noisy", "spearman_p_noisy",
+              "pearson_ci95_noisy", "spearman_ci95_noisy", "n_noisy_wer_gt0"):
+        assert k in s, k
+    assert s["n_noisy"] == 40 and s["n_clean"] == 1
+    assert s["n_noisy_wer_gt0"] == sum(r["wer"] > 0 for r in records[:-1])

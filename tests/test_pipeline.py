@@ -491,3 +491,22 @@ def test_worker_crash_disabled_raises(
     )
     with pytest.raises(RuntimeError, match="UNAVAILABLE"):
         rs.run_shap_pipeline(params, pcfg, ts, AttributionStore(str(tmp_path)))
+
+
+def test_auto_group_size_policy():
+    """sample_batch=0 adapts the group to the clip length: pairs below 100k
+    samples, serial at reference length (the r3 measurements: g=2 faster,
+    g=4 crashed the worker on long clips)."""
+    from asr_shap.core.config import PipelineConfig
+    from asr_shap.pipeline.run_shap import _auto_group_size, _group_size
+
+    assert _auto_group_size(48_000) == 2
+    assert _auto_group_size(99_999) == 2
+    assert _auto_group_size(100_000) == 1
+    assert _auto_group_size(118_400) == 1
+
+    cfg = PipelineConfig()  # default sample_batch=0 -> auto
+    assert _group_size(cfg, None, 48_000) == 2
+    assert _group_size(cfg, None, 120_000) == 1
+    forced = PipelineConfig(sample_batch=4)
+    assert _group_size(forced, None, 120_000) == 4
