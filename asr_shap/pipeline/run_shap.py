@@ -146,16 +146,21 @@ def _sample_step(cfg: PipelineConfig, mesh=None):
     return step
 
 
-def _auto_group_size(length: int) -> int:
-    """Length-adaptive sample group size (``PipelineConfig.sample_batch=0``).
+def _auto_group_size(length: int, nsamples: int = 200) -> int:
+    """Adaptive sample group size (``PipelineConfig.sample_batch=0``).
 
     Measured on the bench v5e (r3_scan_groups + r4_group_len rows in
-    artifacts/bench_sweep_tpu.jsonl): g=2 beats g=4 by 27% per sample, and
-    g=4 x output_chunk=128 programs on >=118k-sample clips crashed the TPU
-    worker outright twice in the r3 study run (artifacts/study_r3/README.md
-    operational notes). Policy: pair short clips, run reference-length
-    (>=100k-sample) clips one per executable."""
-    return 2 if length < 100_000 else 1
+    artifacts/bench_sweep_tpu.jsonl): grouping only pays while the
+    per-sample FIXED costs (the confidence/decode forward, scan overhead)
+    are a visible fraction of the draw loop — at nsamples=8, g=2 wins;
+    at nsamples=32, g=1 already beats g=2 by 9% (3.25 vs 3.54 s/sample at
+    48k) and g=4 by 10%. On reference-length clips (>=100k samples) g=1
+    and g=2 tie within 3% while g=4 x output_chunk=128 programs crashed
+    the TPU worker outright twice in the r3 study run
+    (artifacts/study_r3/README.md operational notes). Policy: group only
+    short clips under small draw budgets; otherwise one sample per
+    executable."""
+    return 2 if (length < 100_000 and nsamples < 32) else 1
 
 
 def _group_size(cfg: PipelineConfig, mesh, length: int) -> int:
@@ -164,7 +169,11 @@ def _group_size(cfg: PipelineConfig, mesh, length: int) -> int:
     recompile on resume). Policy: no mesh -> cfg sample_batch (0 = the
     length-adaptive auto policy); mesh -> the group rounded to a multiple of
     the axis size when possible, else 1 (draw-sharded)."""
-    g = cfg.sample_batch if cfg.sample_batch > 0 else _auto_group_size(length)
+    g = (
+        cfg.sample_batch
+        if cfg.sample_batch > 0
+        else _auto_group_size(length, cfg.explainer.nsamples)
+    )
     if mesh is None:
         return g
     ndev = int(np.prod(mesh.devices.shape[:1]))

@@ -310,6 +310,137 @@ def probe_flash_compile(fh):
                        "wall_s": round(wall, 4)})
 
 
+def probe_fwd_decomp(fh):
+    """Where do the ~35 ms of per-draw batch-1 forward go? (r3_decomp's
+    enc_only bounded the total; this splits it.) Times scan-32 programs of:
+      * conv_fwd     — feature encoder only, batch 1
+      * trans_fwd    — projection + pos-conv + transformer + head from
+                       precomputed feats, batch 1
+      * full_fwd     — the whole forward, batch 1
+      * full_unroll4 — full forward scan with unroll=4 (can XLA overlap
+                       dispatch-bound iterations?)
+      * conv_b32     — ONE batched conv forward over 32 draws (the floor)
+    Each scan consumes a per-iteration input derived from a draw index so
+    nothing is hoisted out of the loop."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from asr_shap.core.config import Wav2Vec2Config
+    from asr_shap.models import wav2vec2 as w2v
+    from asr_shap.models.wav2vec2 import init_wav2vec2_params
+
+    cfg = Wav2Vec2Config(matmul_precision="default", dtype="bfloat16")
+    params = init_wav2vec2_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(AUDIO_LEN).astype(np.float32))
+    n_draws = 32
+
+    def conv_only(p, xi):
+        p = w2v.cast_params_for_compute(p, jnp.bfloat16)
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return w2v.feature_encoder(p, cfg, xi[None].astype(jnp.bfloat16))
+
+    def trans_only(p, feats):
+        p = w2v.cast_params_for_compute(p, jnp.bfloat16)
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            fp = p["feature_projection"]
+            h = w2v._linear(
+                fp["projection"],
+                w2v._layer_norm(fp["layer_norm"], feats, cfg.layer_norm_eps),
+            )
+            h = w2v.encoder(p, cfg, h)
+            return w2v._linear(p["lm_head"], h).astype(jnp.float32)
+
+    def full(p, xi):
+        return w2v.wav2vec2_logits(p, cfg, xi[None])
+
+    feats0 = jax.jit(conv_only)(params, x)
+    _sync(feats0)
+
+    def scan_of(body_fn, per_iter_input, unroll=1):
+        @jax.jit
+        def run(p, base):
+            def body(carry, i):
+                out = body_fn(p, per_iter_input(base, i))
+                return carry + jnp.sum(out.astype(jnp.float32)), None
+
+            acc, _ = lax.scan(body, jnp.asarray(0.0, jnp.float32),
+                              jnp.arange(n_draws), unroll=unroll)
+            return acc
+
+        return run
+
+    # per-iteration scaling makes each iteration's input unique
+    def perturb_x(base, i):
+        return base * (1.0 + 1e-4 * i.astype(jnp.float32))
+
+    def perturb_f(base, i):
+        return (base * (1.0 + 1e-4 * i.astype(jnp.float32))).astype(base.dtype)
+
+    variants = [
+        ("conv_fwd", scan_of(conv_only, perturb_x), x),
+        ("trans_fwd", scan_of(trans_only, perturb_f), feats0),
+        ("full_fwd", scan_of(full, perturb_x), x),
+        ("full_unroll4", scan_of(full, perturb_x, unroll=4), x),
+    ]
+    for name, run, base in variants:
+        try:
+            t0 = time.perf_counter()
+            acc = run(params, base)
+            _sync(acc)
+            compile_s = time.perf_counter() - t0
+            walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                acc = run(params, base)
+                _sync(acc)
+                walls.append(time.perf_counter() - t0)
+            wall = min(walls)
+        except Exception as e:
+            _emit(fh, {"probe": "r4_fwd_decomp", "variant": name,
+                       "audio_len": AUDIO_LEN,
+                       "error": f"{type(e).__name__}: {str(e)[:300]}"})
+            continue
+        _emit(fh, {"probe": "r4_fwd_decomp", "variant": name,
+                   "audio_len": AUDIO_LEN, "n_draws": n_draws,
+                   "compile_s": round(compile_s, 1),
+                   "wall_s": round(wall, 4),
+                   "ms_per_iter": round(wall / n_draws * 1e3, 2)})
+
+    # the batched floor for the conv part alone
+    @jax.jit
+    def conv_b32(p, xs):
+        p = w2v.cast_params_for_compute(p, jnp.bfloat16)
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return jnp.sum(
+                w2v.feature_encoder(p, cfg, xs.astype(jnp.bfloat16)).astype(
+                    jnp.float32
+                )
+            )
+
+    xs = jnp.tile(x[None], (n_draws, 1)) * (
+        1.0 + 1e-4 * jnp.arange(n_draws, dtype=jnp.float32)[:, None]
+    )
+    try:
+        t0 = time.perf_counter()
+        acc = conv_b32(params, xs)
+        _sync(acc)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        acc = conv_b32(params, xs)
+        _sync(acc)
+        wall = time.perf_counter() - t0
+        _emit(fh, {"probe": "r4_fwd_decomp", "variant": "conv_b32",
+                   "audio_len": AUDIO_LEN, "n_draws": n_draws,
+                   "compile_s": round(compile_s, 1), "wall_s": round(wall, 4),
+                   "ms_per_iter": round(wall / n_draws * 1e3, 2)})
+    except Exception as e:
+        _emit(fh, {"probe": "r4_fwd_decomp", "variant": "conv_b32",
+                   "audio_len": AUDIO_LEN,
+                   "error": f"{type(e).__name__}: {str(e)[:300]}"})
+
+
 def main():
     which = sys.argv[1:] or ["dc_form", "group_len", "deep_len",
                              "flash_compile"]
@@ -322,6 +453,8 @@ def main():
             probe_deep_len(fh)
         if "flash_compile" in which:
             probe_flash_compile(fh)
+        if "fwd_decomp" in which:
+            probe_fwd_decomp(fh)
 
 
 if __name__ == "__main__":

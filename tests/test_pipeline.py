@@ -494,19 +494,24 @@ def test_worker_crash_disabled_raises(
 
 
 def test_auto_group_size_policy():
-    """sample_batch=0 adapts the group to the clip length: pairs below 100k
-    samples, serial at reference length (the r3 measurements: g=2 faster,
-    g=4 crashed the worker on long clips)."""
-    from asr_shap.core.config import PipelineConfig
+    """sample_batch=0 adapts the group to clip length AND draw budget:
+    grouping only amortizes per-sample fixed costs, which vanish at large
+    nsamples (r4_group_len: g=1 beats g=2 at nsamples=32), and long-clip
+    grouped programs destabilize the worker (r3 study crashes)."""
+    from asr_shap.core.config import ExplainerConfig, PipelineConfig
     from asr_shap.pipeline.run_shap import _auto_group_size, _group_size
 
-    assert _auto_group_size(48_000) == 2
-    assert _auto_group_size(99_999) == 2
-    assert _auto_group_size(100_000) == 1
-    assert _auto_group_size(118_400) == 1
+    assert _auto_group_size(48_000, nsamples=8) == 2
+    assert _auto_group_size(99_999, nsamples=16) == 2
+    assert _auto_group_size(48_000, nsamples=32) == 1
+    assert _auto_group_size(48_000, nsamples=200) == 1
+    assert _auto_group_size(100_000, nsamples=8) == 1
+    assert _auto_group_size(118_400, nsamples=200) == 1
 
-    cfg = PipelineConfig()  # default sample_batch=0 -> auto
+    cfg = PipelineConfig(explainer=ExplainerConfig(nsamples=8))
     assert _group_size(cfg, None, 48_000) == 2
     assert _group_size(cfg, None, 120_000) == 1
+    cfg200 = PipelineConfig(explainer=ExplainerConfig(nsamples=200))
+    assert _group_size(cfg200, None, 48_000) == 1
     forced = PipelineConfig(sample_batch=4)
     assert _group_size(forced, None, 120_000) == 4
