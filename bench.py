@@ -43,13 +43,16 @@ Tuned defaults (measured on the bench v5e, artifacts/bench_sweep_tpu.jsonl):
     + dgrad is well-tiled at this batch. "hybrid" exists because the lax
     dgrad at multi-draw cotangent batches crashes the compile helper.
 
-Where the remaining wall-clock lives (r3_decomp rows): the T-row batched
-backward runs at ~85 TF/s (~43% of bf16 peak); the per-draw BATCH-1 forward
-(vjp residual pass) costs ~35 ms against a 0.74 ms/pass batched floor —
-per-op dispatch overhead on this host's remote-execution relay, which draw
-batching would amortize if the compile helper accepted dc>=4 programs.
-Day-to-day relay drift on identical programs is +-15-25% (1795 measured
-2026-08-16, 1430-1457 on 2026-08-17).
+Where the remaining wall-clock lives (r4_fwd_decomp / r4_bwd_decomp rows,
+which CORRECT the r3_decomp diagnosis): the per-draw batch-1 forward costs
+1.79 ms (~2% of wall), NOT the 35 ms r3 reported — and the [T_frames, N]
+Jacobian backward is ~98% of wall at 82 ms/draw (transformer 50 ms at 74
+TF/s, conv dgrad 36 ms at 62 TF/s; both flops-bound on MXU-hostile shapes:
+Cin=1/stride-10 first conv layer, stride-2 dilated dgrads, T=149
+attention). Draw batching cannot help a row-batched flops-bound backward —
+the full r4_dc_form grid measures every draw-chunked formulation at
+0.64-0.96x the incumbent. Day-to-day relay drift on identical programs is
++-15-25% (1795 measured 2026-08-16, 1430-1457 on 2026-08-17).
 
 Remat policy (r3_remat_ab, interleaved): "full" replay, the "dots" policy
 (store matmul outputs, recompute elementwise), and remat=False are all

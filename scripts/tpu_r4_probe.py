@@ -441,6 +441,177 @@ def probe_fwd_decomp(fh):
                    "error": f"{type(e).__name__}: {str(e)[:300]}"})
 
 
+def probe_bwd_decomp(fh):
+    """Split the T-row batched backward (98% of explainer wall per
+    r4_fwd_decomp — which CORRECTED r3_decomp's 35 ms-per-forward claim:
+    scan-32 batch-1 forwards actually run at 1.8 ms/draw) into its conv and
+    transformer parts. Scan-32 programs, each consuming a per-draw input:
+      * jac_full  — full [T_out, N] jacobian via 1 fwd + T-row batched VJP
+      * jac_trans — [T_out, T, C] jacobian of projection+encoder+head wrt
+                    the conv FEATURES (the transformer share)
+      * jac_conv  — batched conv backward: T_out cotangent rows [T, C]
+                    pulled back to the waveform (the conv share)
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from asr_shap.core.config import Wav2Vec2Config
+    from asr_shap.models import wav2vec2 as w2v
+    from asr_shap.models.heads import aggregation_head
+    from asr_shap.models.wav2vec2 import init_wav2vec2_params
+
+    cfg = Wav2Vec2Config(matmul_precision="default", dtype="bfloat16")
+    params = init_wav2vec2_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(AUDIO_LEN).astype(np.float32))
+    n_draws = 32
+
+    def conv_only(p, xi):
+        p = w2v.cast_params_for_compute(p, jnp.bfloat16)
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return w2v.feature_encoder(p, cfg, xi[None].astype(jnp.bfloat16))
+
+    def trans_head(p, feats):
+        p = w2v.cast_params_for_compute(p, jnp.bfloat16)
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            fp = p["feature_projection"]
+            h = w2v._linear(
+                fp["projection"],
+                w2v._layer_norm(fp["layer_norm"], feats, cfg.layer_norm_eps),
+            )
+            h = w2v.encoder(p, cfg, h)
+            logits = w2v._linear(p["lm_head"], h).astype(jnp.float32)
+            return aggregation_head(logits, "max")[0]
+
+    feats0 = jax.jit(conv_only)(params, x)
+    _sync(feats0)
+    t_out = cfg.frames_for_samples(AUDIO_LEN)
+    eye = jnp.eye(t_out, dtype=jnp.float32)
+
+    def jac_full(p, xi):
+        # single fwd + batched VJP, as the explainer does
+        def g(xx):
+            return trans_head(p, conv_only(p, xx))
+
+        y, vjp_fn = jax.vjp(g, xi)
+        return jax.vmap(lambda ct: vjp_fn(ct)[0])(eye)
+
+    def jac_trans(p, feats):
+        y, vjp_fn = jax.vjp(lambda ft: trans_head(p, ft), feats)
+        return jax.vmap(lambda ct: vjp_fn(ct)[0])(eye)
+
+    ct_feats = jnp.asarray(
+        rng.standard_normal((t_out,) + tuple(feats0.shape)), feats0.dtype
+    )
+
+    def jac_conv(p, xi):
+        y, vjp_fn = jax.vjp(lambda xx: conv_only(p, xx), xi)
+        return jax.vmap(lambda ct: vjp_fn(ct)[0])(ct_feats)
+
+    def scan_of(body_fn, base, perturb):
+        @jax.jit
+        def run(p, b):
+            def body(carry, i):
+                out = body_fn(p, perturb(b, i))
+                return carry + jnp.sum(out.astype(jnp.float32)), None
+
+            acc, _ = lax.scan(body, jnp.asarray(0.0, jnp.float32),
+                              jnp.arange(n_draws))
+            return acc
+
+        return run
+
+    def p_x(b, i):
+        return b * (1.0 + 1e-4 * i.astype(jnp.float32))
+
+    def p_f(b, i):
+        return (b * (1.0 + 1e-4 * i.astype(jnp.float32))).astype(b.dtype)
+
+    for name, body, base, perturb in (
+        ("jac_full", jac_full, x, p_x),
+        ("jac_trans", jac_trans, feats0, p_f),
+        ("jac_conv", jac_conv, x, p_x),
+    ):
+        try:
+            run = scan_of(body, base, perturb)
+            t0 = time.perf_counter()
+            acc = run(params, base)
+            _sync(acc)
+            compile_s = time.perf_counter() - t0
+            walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                acc = run(params, base)
+                _sync(acc)
+                walls.append(time.perf_counter() - t0)
+            wall = min(walls)
+        except Exception as e:
+            _emit(fh, {"probe": "r4_bwd_decomp", "variant": name,
+                       "audio_len": AUDIO_LEN,
+                       "error": f"{type(e).__name__}: {str(e)[:300]}"})
+            continue
+        _emit(fh, {"probe": "r4_bwd_decomp", "variant": name,
+                   "audio_len": AUDIO_LEN, "n_draws": n_draws,
+                   "compile_s": round(compile_s, 1), "wall_s": round(wall, 4),
+                   "ms_per_iter": round(wall / n_draws * 1e3, 2)})
+
+
+def probe_flash_full(fh):
+    """Localize the r3 795 s pallas compile at T=1,499: standalone flash
+    fwd+bwd compiles in 0.9-7.7 s (r4_flash_compile), so the blowup lives in
+    the full explainer program. A/B the full program's compile time with
+    remat True vs False (nsamples=2 keeps the run cheap; compile time is
+    shape-driven, not draw-driven). If remat=False compiles sanely, the
+    blowup is the remat replay re-instantiating the kernel inside every
+    output-chunk scan body; if not, it's the vmap/scan x custom-call
+    interaction itself."""
+    audio_len = 480_000
+    for remat, attn in ((True, "pallas"), (False, "pallas"), (False, "xla")):
+        name = f"attn_{attn}_remat{'T' if remat else 'F'}"
+        try:
+            import jax
+
+            from asr_shap.core.config import ExplainerConfig, Wav2Vec2Config
+            from asr_shap.explain.baselines import zeros_noise_background
+            from asr_shap.explain.expected_gradients import expected_gradients
+            from asr_shap.models.heads import make_explained_fn
+            from asr_shap.models.wav2vec2 import init_wav2vec2_params
+            import jax.numpy as jnp
+
+            cfg = Wav2Vec2Config(matmul_precision="default", dtype="bfloat16",
+                                 attention_impl=attn)
+            params = init_wav2vec2_params(jax.random.key(0), cfg)
+            ecfg = ExplainerConfig(nsamples=2, draw_chunk=1, output_chunk=16,
+                                   num_background=5, remat=remat)
+            rng = np.random.default_rng(0)
+            x = jnp.asarray(rng.standard_normal(audio_len).astype(np.float32))
+            bg = zeros_noise_background(jax.random.key(1), audio_len, 5, 0.01)
+
+            @jax.jit
+            def run(p, xx, kk):
+                f = make_explained_fn(p, cfg, ecfg)
+                return expected_gradients(f, xx, bg, kk, ecfg).values
+
+            t0 = time.perf_counter()
+            phi = run(params, x, jax.random.key(2))
+            _sync(phi)
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            phi = run(params, x, jax.random.key(3))
+            _sync(phi)
+            wall = time.perf_counter() - t0
+        except Exception as e:
+            _emit(fh, {"probe": "r4_flash_full", "config": name,
+                       "audio_len": audio_len,
+                       "error": f"{type(e).__name__}: {str(e)[:300]}"})
+            continue
+        _emit(fh, {"probe": "r4_flash_full", "config": name,
+                   "audio_len": audio_len, "nsamples": 2,
+                   "compile_s": round(compile_s, 1),
+                   "wall_s": round(wall, 3)})
+
+
 def main():
     which = sys.argv[1:] or ["dc_form", "group_len", "deep_len",
                              "flash_compile"]
@@ -455,6 +626,10 @@ def main():
             probe_flash_compile(fh)
         if "fwd_decomp" in which:
             probe_fwd_decomp(fh)
+        if "bwd_decomp" in which:
+            probe_bwd_decomp(fh)
+        if "flash_full" in which:
+            probe_flash_full(fh)
 
 
 if __name__ == "__main__":
