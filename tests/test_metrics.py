@@ -226,6 +226,55 @@ def test_committed_study_artifact_is_self_consistent():
     assert eta[0] > eta[1] > eta[2] > eta[3]
 
 
+def test_committed_study_r4_artifact_is_self_consistent():
+    """Guard the committed round-4 study (artifacts/study_r4/): recomputing
+    the summary from records.jsonl with the CURRENT sweep_summary must
+    reproduce summary.json, including the round-4 statistical additions
+    (Spearman rho, permutation p, bootstrap CI — all seeded, so exact)."""
+    import json
+    import os
+
+    from asr_shap.pipeline.sweep import sweep_summary
+
+    base = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "study_r4")
+    rec_path = os.path.join(base, "records.jsonl")
+    sum_path = os.path.join(base, "summary.json")
+    if not (os.path.exists(rec_path) and os.path.exists(sum_path)):
+        import pytest
+
+        pytest.skip("study artifacts not present")
+    records = [json.loads(l) for l in open(rec_path)]
+    committed = json.load(open(sum_path))
+
+    assert len(records) == 140
+    s = sweep_summary(records)
+    assert abs(s["pearson_r_noisy"] - committed["pearson_r_noisy"]) < 1e-9
+    assert abs(s["spearman_rho_noisy"]
+               - committed["spearman_rho_noisy"]) < 1e-9
+    assert abs(s["pearson_p_noisy"] - committed["pearson_p_noisy"]) < 1e-12
+    for got, want in zip(s["pearson_ci95_noisy"],
+                         committed["pearson_ci95_noisy"]):
+        assert abs(got - want) < 1e-9
+    assert s["n_noisy"] == committed["n_noisy"] == 120
+    assert s["n_clean"] == committed["n_clean"] == 20
+    # the round-4 point: a majority of noisy rows have WER > 0, and the
+    # CI excludes 0 (the r3 weakness this study was rerun to close)
+    assert s["n_noisy_wer_gt0"] == committed["n_noisy_wer_gt0"] == 67
+    assert committed["pearson_ci95_noisy"][1] < 0
+    assert committed["spearman_ci95_noisy"][1] < 0
+    for snr, stats in committed["per_snr"].items():
+        assert abs(s["per_snr"][snr]["mean_wer"] - stats["mean_wer"]) < 1e-9
+        assert abs(s["per_snr"][snr]["mean_eta_raw"]
+                   - stats["mean_eta_raw"]) < 1e-9
+    # scientific shape: both axes monotone across all seven SNR levels
+    order = ("inf", "5", "2", "1", "0", "-2", "-5")
+    eta = [s["per_snr"][k]["mean_eta_raw"] for k in order]
+    wer = [s["per_snr"][k]["mean_wer"] for k in order]
+    assert all(a > b for a, b in zip(eta, eta[1:]))
+    assert all(a <= b for a, b in zip(wer, wer[1:]))
+
+
 # ----------------------------------------------------- correlation statistics
 
 def test_avg_ranks_ties():
