@@ -62,10 +62,11 @@ class Wav2Vec2Config:
     # speed, which greedy argmax decoding tolerates.
     matmul_precision: str = "highest"
 
-    # Kernel selection: "xla" (portable, CPU-testable), "pallas" (fused
-    # flash attention, incl. full rel-pos biases), or "auto" (length-based
-    # dispatch: pallas at T >= ops.attention.AUTO_PALLAS_MIN_T, where XLA's
-    # materialized [batch, H, T, T] probabilities become the bottleneck).
+    # Kernel selection: "xla" (portable, CPU-testable, and the measured
+    # winner at every probed length — see artifacts/kernel_decision.md),
+    # "pallas" (fused flash attention, incl. full rel-pos biases; explicit
+    # opt-in for the memory-bound regime), or "auto" (resolves to "xla"
+    # since round 4 retired the length-based pallas dispatch).
     attention_impl: str = "xla"
     # Rematerialization policy when the caller requests remat: "full"
     # (replay everything) or "dots" (jax.checkpoint_policies.dots_with_no_

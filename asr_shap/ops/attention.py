@@ -50,13 +50,18 @@ def _xla_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-# Length threshold for impl="auto": below it XLA's fused attention wins at
-# ASR frame counts (measured: 1,542 vs 969 passes/s at T=149; still ahead
-# 406 vs 370 at T=249); above it the flash kernel's VMEM residency wins —
-# measured 20.2 vs 19.4 passes/s at T=1,499 (30 s long-form audio) — because
-# XLA materializes [rows, H, T, T] probabilities in HBM both ways. See
-# artifacts/kernel_decision.md "Round-3 long-sequence measurement".
-AUTO_PALLAS_MIN_T = 1024
+# impl="auto" resolution. Round 3 dispatched to the flash kernel at
+# T >= 1024 off a +4% pallas win at T=1,499; round 4's same-session 2x2
+# (r4_flash_full rows, artifacts/bench_sweep_tpu.jsonl) did not reproduce
+# it — full-explainer wall at 480k samples was xla+remat 166 s vs
+# pallas+remat 247 s, and the r3 "795 s pallas compile" turned out to be
+# remat x long-T, hitting BOTH impls equally (406 s xla vs 422 s pallas).
+# Per artifacts/kernel_decision.md's own retirement rule (keep only if it
+# beats XLA by >=10% somewhere reachable with a sane compile), "auto" now
+# always resolves to XLA; the kernel stays available as an explicit
+# impl="pallas" opt-in for the memory-bound regime (it keeps [rows, H, T, T]
+# probabilities out of HBM when capacity, not time, binds).
+AUTO_PALLAS_MIN_T = None  # retired (kept for import compatibility)
 
 
 def multi_head_attention(
@@ -68,20 +73,21 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """Scaled dot-product attention over [B, H, T, D] tensors.
 
-    impl: "xla" (reference path), "pallas" (flash kernel; supports both
-    [B, 1, 1, T] masks and differentiable [B, H, T, T] score biases), or
-    "auto" (length-based dispatch: pallas for T >= AUTO_PALLAS_MIN_T).
+    impl: "xla" (default/reference path), "pallas" (flash kernel; supports
+    both [B, 1, 1, T] masks and differentiable [B, H, T, T] score biases),
+    or "auto" (resolves to "xla" since round 4 — the r3 long-form pallas win
+    did not reproduce under a same-session A/B; see AUTO_PALLAS_MIN_T note
+    and artifacts/kernel_decision.md).
 
     Gradient contract for ``bias``: a [B, H, T, T] bias is differentiable on
     every path. A [B, 1, 1, T] bias is treated as a CONSTANT padding mask by
     the pallas kernel (its cotangent is zero), while the XLA path propagates
-    real gradients — so under impl="auto" the bias-gradient semantics for
-    that shape flip at the T threshold. The only in-tree producer of that
-    shape is the non-differentiated length mask; a future differentiable
-    rank-1 bias must use the [B, H, T, T] form (broadcast it) or impl="xla".
+    real gradients. The only in-tree producer of that shape is the
+    non-differentiated length mask; a future differentiable rank-1 bias must
+    use the [B, H, T, T] form (broadcast it) or impl="xla".
     """
     if impl == "auto":
-        impl = "pallas" if q.shape[2] >= AUTO_PALLAS_MIN_T else "xla"
+        impl = "xla"
     if impl == "pallas":
         if bias is not None and bias.ndim != 4:
             # the flash kernel's bias-cotangent unbroadcast assumes rank 4

@@ -567,8 +567,13 @@ def probe_flash_full(fh):
     output-chunk scan body; if not, it's the vmap/scan x custom-call
     interaction itself."""
     audio_len = 480_000
-    for remat, attn in ((True, "pallas"), (False, "pallas"), (False, "xla")):
+    grid = ((True, "pallas"), (False, "pallas"), (False, "xla"),
+            (True, "xla"))
+    only = os.environ.get("PROBE_FLASH_CONFIGS", "")
+    for remat, attn in grid:
         name = f"attn_{attn}_remat{'T' if remat else 'F'}"
+        if only and name not in only.split(","):
+            continue
         try:
             import jax
 

@@ -162,16 +162,17 @@ def test_full_bias_broadcast_cotangent_shape(rng):
                                rtol=5e-4, atol=5e-5)
 
 
-def test_auto_dispatch_threshold(rng):
-    """impl="auto" routes short sequences to XLA and long ones to the
-    kernel; both produce the XLA result."""
+def test_auto_dispatch_resolves_to_xla(rng):
+    """impl="auto" resolves to the XLA path at every length since round 4
+    retired the length-based pallas dispatch (r4_flash_full: the r3 long-form
+    pallas win did not reproduce; artifacts/kernel_decision.md)."""
     from asr_shap.ops.attention import AUTO_PALLAS_MIN_T, multi_head_attention
 
     q, k, v = _rand_qkv(rng, 1, 1, 48, 32)
     out = multi_head_attention(q, k, v, None, impl="auto")
     ref = multi_head_attention(q, k, v, None, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
-    assert AUTO_PALLAS_MIN_T > 256  # ASR frame counts stay on XLA
+    assert AUTO_PALLAS_MIN_T is None  # dispatch threshold retired
 
 
 def test_non_4d_bias_routes_to_xla_with_correct_grads(rng):
