@@ -365,3 +365,44 @@ def test_sweep_summary_carries_stats():
         assert k in s, k
     assert s["n_noisy"] == 40 and s["n_clean"] == 1
     assert s["n_noisy_wer_gt0"] == sum(r["wer"] > 0 for r in records[:-1])
+
+
+def test_committed_noise_family_study_is_self_consistent():
+    """Guard the committed round-4 noise-family study
+    (artifacts/study_r4_noise/): recomputing each summary from its records
+    with the CURRENT sweep_summary must reproduce the committed numbers, and
+    the scientific claims in its README (monotone per-SNR eta_raw, CIs
+    excluding 0) must hold from the records alone."""
+    import json
+    import os
+
+    from asr_shap.pipeline.sweep import sweep_summary
+
+    base = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "study_r4_noise")
+    for kind in ("pink", "babble"):
+        rec_path = os.path.join(base, f"records_{kind}.jsonl")
+        sum_path = os.path.join(base, f"summary_{kind}.json")
+        if not (os.path.exists(rec_path) and os.path.exists(sum_path)):
+            import pytest
+
+            pytest.skip("noise-family study artifacts not present")
+        records = [json.loads(l) for l in open(rec_path)]
+        committed = json.load(open(sum_path))
+        assert len(records) == 40
+        s = sweep_summary(records)
+        assert abs(s["pearson_r_noisy"] - committed["pearson_r_noisy"]) < 1e-9
+        assert abs(s["spearman_rho_noisy"]
+                   - committed["spearman_rho_noisy"]) < 1e-9
+        for got, want in zip(s["spearman_ci95_noisy"],
+                             committed["spearman_ci95_noisy"]):
+            assert abs(got - want) < 1e-9
+        assert s["n_noisy"] == committed["n_noisy"] == 30
+        # both families: eta_raw strictly monotone in SNR, CI excludes 0
+        order = ("inf", "5", "1", "-2")
+        eta = [s["per_snr"][k]["mean_eta_raw"] for k in order]
+        wer = [s["per_snr"][k]["mean_wer"] for k in order]
+        assert all(a > b for a, b in zip(eta, eta[1:]))
+        assert all(a <= b for a, b in zip(wer, wer[1:]))
+        assert committed["pearson_ci95_noisy"][1] < 0
+        assert committed["spearman_ci95_noisy"][1] < 0
