@@ -406,3 +406,40 @@ def test_committed_noise_family_study_is_self_consistent():
         assert all(a <= b for a, b in zip(wer, wer[1:]))
         assert committed["pearson_ci95_noisy"][1] < 0
         assert committed["spearman_ci95_noisy"][1] < 0
+
+
+def test_committed_deep_study_is_self_consistent():
+    """Guard the committed round-4 DeepSHAP study (artifacts/study_r4_deep/):
+    the reference-scale (>=100k samples) deep protocol whose summary must be
+    reproducible from its records with the CURRENT sweep_summary, with
+    monotone per-SNR eta_raw and a CI excluding 0."""
+    import json
+    import os
+
+    from asr_shap.pipeline.sweep import sweep_summary
+
+    base = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "study_r4_deep")
+    rec_path = os.path.join(base, "records.jsonl")
+    sum_path = os.path.join(base, "summary.json")
+    if not (os.path.exists(rec_path) and os.path.exists(sum_path)):
+        import pytest
+
+        pytest.skip("deep study artifacts not present")
+    records = [json.loads(l) for l in open(rec_path)]
+    committed = json.load(open(sum_path))
+    assert len(records) == 70
+    s = sweep_summary(records)
+    assert abs(s["pearson_r_noisy"] - committed["pearson_r_noisy"]) < 1e-9
+    assert abs(s["spearman_rho_noisy"]
+               - committed["spearman_rho_noisy"]) < 1e-9
+    for got, want in zip(s["spearman_ci95_noisy"],
+                         committed["spearman_ci95_noisy"]):
+        assert abs(got - want) < 1e-9
+    assert s["n_noisy"] == committed["n_noisy"] == 60
+    assert committed["spearman_ci95_noisy"][1] < 0
+    order = ("inf", "5", "2", "1", "0", "-2", "-5")
+    eta = [s["per_snr"][k]["mean_eta_raw"] for k in order]
+    wer = [s["per_snr"][k]["mean_wer"] for k in order]
+    assert all(a > b for a, b in zip(eta, eta[1:]))
+    assert all(a <= b for a, b in zip(wer, wer[1:]))
