@@ -406,6 +406,23 @@ def test_committed_noise_family_study_is_self_consistent():
         assert all(a <= b for a, b in zip(wer, wer[1:]))
         assert committed["pearson_ci95_noisy"][1] < 0
         assert committed["spearman_ci95_noisy"][1] < 0
+    # the high-SNR babble extension documents the metric's boundary: WER
+    # has spread but the speech-dominance correlation legitimately vanishes
+    # (CI spans 0) — pin that the records still reproduce the summary
+    hi_rec = os.path.join(base, "records_babble_hi.jsonl")
+    hi_sum = os.path.join(base, "summary_babble_hi.json")
+    if os.path.exists(hi_rec) and os.path.exists(hi_sum):
+        records = [json.loads(l) for l in open(hi_rec)]
+        committed = json.load(open(hi_sum))
+        assert len(records) == 30
+        s = sweep_summary(records)
+        assert abs(s["spearman_rho_noisy"]
+                   - committed["spearman_rho_noisy"]) < 1e-9
+        assert committed["spearman_ci95_noisy"][0] < 0
+        assert committed["spearman_ci95_noisy"][1] > 0
+        wer15 = s["per_snr"]["15"]["mean_wer"]
+        wer10 = s["per_snr"]["10"]["mean_wer"]
+        assert 0 < wer15 < wer10  # real WER spread, unlike 5/1/-2 babble
 
 
 def test_committed_deep_study_is_self_consistent():
