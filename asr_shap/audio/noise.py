@@ -53,8 +53,8 @@ def scale_noise_to_snr(
     (noise kept as ITM ground truth) generalized to any noise source."""
     audio = audio.astype(jnp.float32)
     noise = noise.astype(jnp.float32)
-    p_s = jnp.mean(jnp.square(audio))
-    p_n = jnp.maximum(jnp.mean(jnp.square(noise)), 1e-12)
+    p_s = jnp.mean(jnp.square(audio), axis=-1, keepdims=True)
+    p_n = jnp.maximum(jnp.mean(jnp.square(noise), axis=-1, keepdims=True), 1e-12)
     scaled = noise * jnp.sqrt(p_s / (p_n * (10.0 ** (snr_db / 10.0))))
     return audio + scaled, scaled
 
@@ -63,16 +63,14 @@ def mix_at_snr(
     speech: jnp.ndarray, noise: jnp.ndarray, snr_db: float
 ) -> jnp.ndarray:
     """Mix an arbitrary noise signal into speech at ``snr_db``
-    (train_asr.py:169-179 capability: scale noise so that
-    10*log10(P_speech / P_scaled_noise) = snr_db)."""
+    (train_asr.py:169-179 capability: tile/truncate the noise to the speech
+    length, then apply the single SNR-scaling rule in
+    ``scale_noise_to_snr`` so the dB convention lives in one place)."""
     speech = speech.astype(jnp.float32)
     noise = noise.astype(jnp.float32)
     n = speech.shape[-1]
     if noise.shape[-1] < n:
         reps = -(-n // noise.shape[-1])
         noise = jnp.tile(noise, reps)
-    noise = noise[..., :n]
-    p_s = jnp.mean(jnp.square(speech), axis=-1, keepdims=True)
-    p_n = jnp.maximum(jnp.mean(jnp.square(noise), axis=-1, keepdims=True), 1e-12)
-    scale = jnp.sqrt(p_s / (p_n * (10.0 ** (snr_db / 10.0))))
-    return speech + scale * noise
+    mixed, _ = scale_noise_to_snr(speech, noise[..., :n], snr_db)
+    return mixed

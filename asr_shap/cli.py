@@ -342,9 +342,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "default bounds backward memory so reference-length "
                         "clips >=100k samples don't overrun a 16 GB chip)")
     p.add_argument("--sample-batch", type=int, default=0,
-                   help="samples explained per jitted call (0 = length-"
-                        "adaptive auto: 2 under 100k samples, 1 above — "
-                        "the measured optimum; 1 = serial)")
+                   help="samples explained per jitted call (0 = auto: 2 "
+                        "only for short clips (<100k samples) under small "
+                        "draw budgets (nsamples<32), else 1 — the measured "
+                        "optimum, r4_group_len rows; 1 = serial)")
     p.add_argument("--async-writes", action="store_true",
                    help="write npy files through the native C++ writer pool "
                         "(overlaps disk IO with device compute)")

@@ -303,11 +303,13 @@ class PipelineConfig:
     data_dir: str = "data"
     seed: int = 0
     # Samples explained per jitted call (fixed-size groups within an
-    # exact-length bucket; one executable per audio length). 0 = length-
-    # adaptive auto: 2 for clips under 100k samples, 1 at reference length —
-    # the measured optimum (r3_scan_groups: g=2 is 27% faster per sample
-    # than g=4, and g=4 crashed the bench TPU worker on >=118k-sample
-    # clips). 1 = serial; explicit N forces N everywhere.
+    # exact-length bucket; one executable per audio length). 0 = auto
+    # (run_shap._auto_group_size): 2 only for short clips (<100k samples)
+    # under small draw budgets (nsamples<32), where per-sample fixed costs
+    # are visible next to the draw loop; else 1 — the measured optimum
+    # (r4_group_len: at nsamples=32, g=1 beats g=2 by 9% at 48k and ties
+    # within 3% at 120k; r3: g=4 crashed the bench TPU worker on
+    # >=118k-sample clips). 1 = serial; explicit N forces N everywhere.
     sample_batch: int = 0
     # Elastic recovery from device-runtime loss (TPU worker crash/restart):
     # the pipeline keeps a host copy of the params, waits crash_backoff_s *

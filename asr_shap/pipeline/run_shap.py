@@ -72,16 +72,18 @@ def _is_device_unavailable(e: Exception) -> bool:
     rejections (RESOURCE_EXHAUSTED, HTTP 500 from a compile service) are NOT
     matched — those need a smaller executable, handled separately.
 
-    Only ``XlaRuntimeError`` (the type the runtime raises for device loss)
-    is inspected; arbitrary exceptions that merely carry the word
-    UNAVAILABLE (e.g. a transient gRPC failure surfacing as a ValueError
-    from a compile relay) must not trigger minutes of crash backoff."""
-    try:
-        from jaxlib.xla_extension import XlaRuntimeError
-    except Exception:  # jaxlib layout changed: fall back to the name check
-        XlaRuntimeError = ()
-    if XlaRuntimeError and not isinstance(e, XlaRuntimeError):
-        if type(e).__name__ != "XlaRuntimeError":
+    Only the runtime-error type the backend raises for device loss is
+    inspected — ``jax.errors.JaxRuntimeError`` on current jax (it subclasses
+    RuntimeError; the pre-0.6 spelling ``jaxlib.xla_extension
+    .XlaRuntimeError`` is accepted by type NAME so older jaxlibs keep
+    working). Arbitrary exceptions that merely carry the word UNAVAILABLE
+    (e.g. a transient gRPC failure surfacing as a ValueError from a compile
+    relay) must not trigger minutes of crash backoff."""
+    import jax
+
+    runtime_err = getattr(jax.errors, "JaxRuntimeError", RuntimeError)
+    if not isinstance(e, runtime_err):
+        if type(e).__name__ != "XlaRuntimeError":  # pre-0.6 jaxlib type
             return False
     s = repr(e)
     return "UNAVAILABLE" in s or "crashed or restarted" in s

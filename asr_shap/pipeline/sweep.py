@@ -174,6 +174,29 @@ def _avg_ranks(a: np.ndarray) -> np.ndarray:
     return 0.5 * (bounds[dense - 1] + 1 + bounds[dense])
 
 
+def _avg_ranks_rows(x: np.ndarray) -> np.ndarray:
+    """Row-wise `_avg_ranks` for a [m, n] batch of bootstrap resamples —
+    same average-of-(first+last)-positions tie rule, vectorized so the CI
+    computation is two argsorts instead of an m-iteration Python loop."""
+    m, n = x.shape
+    order = np.argsort(x, axis=1, kind="mergesort")
+    xs = np.take_along_axis(x, order, axis=1)
+    run_start = np.concatenate(
+        [np.ones((m, 1), bool), xs[:, 1:] != xs[:, :-1]], axis=1
+    )
+    pos = np.arange(n)
+    start = np.maximum.accumulate(np.where(run_start, pos, 0), axis=1)
+    run_last = np.concatenate(
+        [run_start[:, 1:], np.ones((m, 1), bool)], axis=1
+    )
+    end = np.where(run_last, pos, n - 1)
+    end = np.minimum.accumulate(end[:, ::-1], axis=1)[:, ::-1]
+    sorted_ranks = 0.5 * (start + 1 + end + 1)
+    ranks = np.empty((m, n), np.float64)
+    np.put_along_axis(ranks, order, sorted_ranks, axis=1)
+    return ranks
+
+
 def _pearson(w: np.ndarray, e: np.ndarray) -> float:
     return float(np.corrcoef(w, e)[0, 1])
 
@@ -189,8 +212,8 @@ def correlation_stats(
     Pearson r AND Spearman rho (the WER axis is heavily tied at 0, which
     makes Pearson alone misleading — VERDICT r3 weak #1), each with a
     seeded two-sided permutation p-value and a seeded bootstrap 95%
-    percentile CI. Pure numpy; n is sweep-sized (tens to hundreds), so the
-    resampling is milliseconds."""
+    percentile CI. Pure numpy, fully vectorized over resamples (~0.2 s at
+    n=120 with the default 5k bootstrap / 10k permutations)."""
     w = np.asarray(w, np.float64)
     e = np.asarray(e, np.float64)
     n = len(w)
@@ -216,15 +239,15 @@ def correlation_stats(
 
     def _boot_ci(a: np.ndarray, b: np.ndarray, rank: bool) -> list:
         idx = rng.integers(0, n, size=(n_boot, n))
-        rs = np.empty(n_boot)
-        for i in range(n_boot):
-            ai, bi = a[idx[i]], b[idx[i]]
-            if rank:
-                ai, bi = _avg_ranks(ai), _avg_ranks(bi)
-            if ai.std() == 0 or bi.std() == 0:
-                rs[i] = np.nan  # degenerate resample (e.g. all-zero WER)
-                continue
-            rs[i] = _pearson(ai, bi)
+        A, B = a[idx], b[idx]
+        if rank:
+            A, B = _avg_ranks_rows(A), _avg_ranks_rows(B)
+        ac = A - A.mean(axis=1, keepdims=True)
+        bc = B - B.mean(axis=1, keepdims=True)
+        denom = np.sqrt((ac * ac).sum(axis=1) * (bc * bc).sum(axis=1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rs = np.where(denom == 0, np.nan,  # degenerate resample
+                          (ac * bc).sum(axis=1) / denom)
         lo, hi = np.nanpercentile(rs, [2.5, 97.5])
         return [float(lo), float(hi)]
 

@@ -437,7 +437,11 @@ def test_worker_crash_recovery_restages_and_completes(
         if g > 1 and not state["crashed"]:
             def crash(*a):
                 state["crashed"] += 1
-                raise RuntimeError(
+                import jax
+
+                # the real device-loss type: a plain RuntimeError must NOT
+                # enter the crash-recovery path (see _is_device_unavailable)
+                raise jax.errors.JaxRuntimeError(
                     "UNAVAILABLE: TPU worker process crashed or restarted "
                     "(simulated)"
                 )
@@ -515,3 +519,26 @@ def test_auto_group_size_policy():
     assert _group_size(cfg200, None, 48_000) == 1
     forced = PipelineConfig(sample_batch=4)
     assert _group_size(forced, None, 120_000) == 4
+
+
+def test_device_unavailable_classification():
+    """Only the backend's device-loss exception type enters the crash-
+    recovery path; arbitrary exceptions carrying the word UNAVAILABLE (a
+    gRPC hiccup surfacing as ValueError, a plain RuntimeError from user
+    code) must be classified False so they surface immediately instead of
+    burning minutes of backoff (ADVICE r3)."""
+    import jax
+
+    from asr_shap.pipeline.run_shap import _is_device_unavailable
+
+    assert _is_device_unavailable(
+        jax.errors.JaxRuntimeError("UNAVAILABLE: TPU worker crashed")
+    )
+    assert _is_device_unavailable(
+        jax.errors.JaxRuntimeError("device crashed or restarted")
+    )
+    assert not _is_device_unavailable(
+        jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: out of memory")
+    )
+    assert not _is_device_unavailable(ValueError("UNAVAILABLE: relay 500"))
+    assert not _is_device_unavailable(RuntimeError("UNAVAILABLE: not jax"))
