@@ -460,3 +460,17 @@ def test_committed_deep_study_is_self_consistent():
     wer = [s["per_snr"][k]["mean_wer"] for k in order]
     assert all(a > b for a, b in zip(eta, eta[1:]))
     assert all(a <= b for a, b in zip(wer, wer[1:]))
+
+
+def test_avg_ranks_rows_matches_scalar_version():
+    """The vectorized row-wise rank kernel used by the bootstrap CI must
+    agree exactly with the scalar _avg_ranks on every row, including heavy
+    ties (the WER axis is mostly zeros)."""
+    from asr_shap.pipeline.sweep import _avg_ranks, _avg_ranks_rows
+
+    rng = np.random.default_rng(7)
+    x = np.where(rng.random((50, 37)) < 0.5, 0.0,
+                 np.round(rng.random((50, 37)) * 5) / 5)
+    got = _avg_ranks_rows(x)
+    for i in range(x.shape[0]):
+        np.testing.assert_array_equal(got[i], _avg_ranks(x[i]))
