@@ -406,6 +406,23 @@ def test_committed_noise_family_study_is_self_consistent():
         assert all(a <= b for a, b in zip(wer, wer[1:]))
         assert committed["pearson_ci95_noisy"][1] < 0
         assert committed["spearman_ci95_noisy"][1] < 0
+    # the full-protocol pink replication: 7 SNR levels, every noisy row
+    # WER>0, correlation at white-noise-headline strength
+    full_rec = os.path.join(base, "records_pink_full.jsonl")
+    full_sum = os.path.join(base, "summary_pink_full.json")
+    if os.path.exists(full_rec) and os.path.exists(full_sum):
+        records = [json.loads(l) for l in open(full_rec)]
+        committed = json.load(open(full_sum))
+        assert len(records) == 70
+        s = sweep_summary(records)
+        assert abs(s["spearman_rho_noisy"]
+                   - committed["spearman_rho_noisy"]) < 1e-9
+        assert s["n_noisy"] == committed["n_noisy"] == 60
+        assert s["n_noisy_wer_gt0"] == 60
+        assert committed["spearman_ci95_noisy"][1] < 0
+        order = ("inf", "5", "2", "1", "0", "-2", "-5")
+        eta = [s["per_snr"][k]["mean_eta_raw"] for k in order]
+        assert all(a > b for a, b in zip(eta, eta[1:]))
     # the high-SNR babble extension documents the metric's boundary: WER
     # has spread but the speech-dominance correlation legitimately vanishes
     # (CI spans 0) — pin that the records still reproduce the summary
