@@ -491,3 +491,41 @@ def test_avg_ranks_rows_matches_scalar_version():
     got = _avg_ranks_rows(x)
     for i in range(x.shape[0]):
         np.testing.assert_array_equal(got[i], _avg_ranks(x[i]))
+
+
+def test_committed_medium_study_is_self_consistent():
+    """Guard the committed round-4 model-scale study
+    (artifacts/study_r4_medium/): the 2.1M-param framework-trained model's
+    summary must be reproducible from its records, with monotone per-SNR
+    eta_raw and a CI excluding 0."""
+    import json
+    import os
+
+    from asr_shap.pipeline.sweep import sweep_summary
+
+    base = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "study_r4_medium")
+    rec_path = os.path.join(base, "records.jsonl")
+    sum_path = os.path.join(base, "summary.json")
+    if not (os.path.exists(rec_path) and os.path.exists(sum_path)):
+        import pytest
+
+        pytest.skip("medium study artifacts not present")
+    records = [json.loads(l) for l in open(rec_path)]
+    committed = json.load(open(sum_path))
+    assert len(records) == 70
+    s = sweep_summary(records)
+    assert abs(s["pearson_r_noisy"] - committed["pearson_r_noisy"]) < 1e-9
+    assert abs(s["spearman_rho_noisy"]
+               - committed["spearman_rho_noisy"]) < 1e-9
+    for got, want in zip(s["spearman_ci95_noisy"],
+                         committed["spearman_ci95_noisy"]):
+        assert abs(got - want) < 1e-9
+    assert s["n_noisy"] == committed["n_noisy"] == 60
+    assert committed["pearson_ci95_noisy"][1] < 0
+    assert committed["spearman_ci95_noisy"][1] < 0
+    order = ("inf", "5", "2", "1", "0", "-2", "-5")
+    eta = [s["per_snr"][k]["mean_eta_raw"] for k in order]
+    wer = [s["per_snr"][k]["mean_wer"] for k in order]
+    assert all(a > b for a, b in zip(eta, eta[1:]))
+    assert all(a <= b for a, b in zip(wer, wer[1:]))
