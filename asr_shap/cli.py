@@ -269,14 +269,6 @@ def cmd_train(args):
     from asr_shap.core.params_io import save_params
     from asr_shap.pipeline.train_synthetic import train_synthetic
 
-    if getattr(args, "arch", "wav2vec2") != "wav2vec2":
-        # train_synthetic drives pipeline/train.py's wav2vec2 step; training
-        # a conformer here would silently fit a wav2vec2 and embed the WRONG
-        # config in the archive (unloadable later). Fail loudly instead.
-        raise SystemExit(
-            "train supports --arch wav2vec2 only (the synthetic-corpus CTC "
-            "trainer); conformer-family training is not wired"
-        )
     params, cfg = _load_model(args)
     tcfg = TrainConfig(
         learning_rate=args.lr, num_epochs=args.epochs,

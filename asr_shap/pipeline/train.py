@@ -34,6 +34,20 @@ from asr_shap.ops.ctc import ctc_loss
 logger = logging.getLogger(__name__)
 
 
+def model_logits_fn(model_cfg: Wav2Vec2Config):
+    """Family dispatch on the config type, the same rule the explainer
+    pipeline uses (run_shap._sample_step): Wav2Vec2ConformerConfig is a
+    Wav2Vec2Config subclass, so training serves both families from one
+    loop (reference R6 trains D1; R12's conformer gets the same loop)."""
+    from asr_shap.core.config import Wav2Vec2ConformerConfig
+
+    if isinstance(model_cfg, Wav2Vec2ConformerConfig):
+        from asr_shap.models.w2v2_conformer import w2v2_conformer_logits
+
+        return w2v2_conformer_logits
+    return wav2vec2_logits
+
+
 # ---------------------------------------------------------------- optimizer
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -52,9 +66,11 @@ def make_train_step(
     loss) step. batch: dict of audio [B, N] (raw), audio_lengths [B],
     labels [B, L], label_lengths [B]."""
 
+    logits_fn = model_logits_fn(model_cfg)
+
     def loss_fn(params, batch):
         x = zero_mean_unit_var(batch["audio"], batch["audio_lengths"])
-        logits = wav2vec2_logits(
+        logits = logits_fn(
             params, model_cfg, x, lengths=batch["audio_lengths"], remat=True
         )
         logit_lengths = feature_lengths(model_cfg, batch["audio_lengths"])
@@ -86,9 +102,11 @@ def make_eval_step(model_cfg: Wav2Vec2Config):
     optimizer state — the val loop must not pay for (or risk reusing) a
     training update."""
 
+    logits_fn = model_logits_fn(model_cfg)
+
     def eval_step(params, batch):
         x = zero_mean_unit_var(batch["audio"], batch["audio_lengths"])
-        logits = wav2vec2_logits(params, model_cfg, x, lengths=batch["audio_lengths"])
+        logits = logits_fn(params, model_cfg, x, lengths=batch["audio_lengths"])
         logit_lengths = feature_lengths(model_cfg, batch["audio_lengths"])
         return ctc_loss(logits, logit_lengths, batch["labels"], batch["label_lengths"])
 

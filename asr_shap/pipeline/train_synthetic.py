@@ -136,10 +136,14 @@ def greedy_wer(
     """Corpus-level greedy-decode WER over ``batches`` (weighted by reference
     word counts, like jiwer over the concatenated corpus)."""
 
+    from asr_shap.pipeline.train import model_logits_fn
+
+    family_logits = model_logits_fn(model_cfg)
+
     @jax.jit
     def logits_fn(p, x, lens):
         xx = zero_mean_unit_var(x, lens)
-        return wav2vec2_logits(p, model_cfg, xx, lengths=lens)
+        return family_logits(p, model_cfg, xx, lengths=lens)
 
     pairs: List[Tuple[str, str]] = []
     for batch in batches:
@@ -176,6 +180,7 @@ def train_synthetic(
     clip, val, early stopping, optional orbax checkpointing) — then measures
     held-out greedy WER.
     """
+    from asr_shap.core.config import Wav2Vec2ConformerConfig
     from asr_shap.models.wav2vec2 import init_wav2vec2_params
     from asr_shap.pipeline.train import train
 
@@ -193,7 +198,15 @@ def train_synthetic(
             "(a frozen random conv stack cannot learn the synthesis patterns)"
         )
     if params is None:
-        params = init_wav2vec2_params(jax.random.key(seed), model_cfg)
+        if isinstance(model_cfg, Wav2Vec2ConformerConfig):
+            from asr_shap.models.w2v2_conformer import (
+                init_w2v2_conformer_params,
+            )
+
+            params = init_w2v2_conformer_params(jax.random.key(seed),
+                                                model_cfg)
+        else:
+            params = init_wav2vec2_params(jax.random.key(seed), model_cfg)
 
     clip_samples = int(round(clip_seconds * sr))
     max_label_len = max(8, clip_samples // CHAR_DURATION + 2)
