@@ -330,10 +330,33 @@ def run_shap_pipeline(
                         "the worker, then re-staging params (recovery %d/%d)",
                         type(e).__name__, e, wait, crashes, cfg.crash_retries,
                     )
-                    time.sleep(wait)
-                    jax.clear_caches()  # drop executables bound to the dead runtime
-                    steps.clear()
-                    params = jax.device_put(params_host)
+                    # The re-staging device_put is itself the first call to
+                    # touch the dead runtime — if the worker is still down
+                    # after the backoff it raises UNAVAILABLE too, and that
+                    # must consume further recovery attempts instead of
+                    # escaping the run (observed in the r4 conformer study:
+                    # one 60s wait was not enough and attempts 2/3 never
+                    # ran).
+                    while True:
+                        time.sleep(wait)
+                        jax.clear_caches()  # drop executables bound to the dead runtime
+                        steps.clear()
+                        try:
+                            params = jax.device_put(params_host)
+                            break
+                        except Exception as e2:
+                            if (_is_device_unavailable(e2)
+                                    and crashes < cfg.crash_retries):
+                                crashes += 1
+                                wait = cfg.crash_backoff_s * crashes
+                                logger.warning(
+                                    "worker still down at re-staging (%s: "
+                                    "%.200s); waiting %.0fs more (recovery "
+                                    "%d/%d)", type(e2).__name__, e2, wait,
+                                    crashes, cfg.crash_retries,
+                                )
+                                continue
+                            raise
                     key = jax.random.key(cfg.seed)
                     if g > 1:
                         # the crash was likely the grouped program's memory:

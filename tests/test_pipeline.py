@@ -542,3 +542,57 @@ def test_device_unavailable_classification():
     )
     assert not _is_device_unavailable(ValueError("UNAVAILABLE: relay 500"))
     assert not _is_device_unavailable(RuntimeError("UNAVAILABLE: not jax"))
+
+
+def test_worker_crash_recovery_retries_failed_restaging(
+    tiny_testset, tiny_config, tmp_path, monkeypatch
+):
+    """If the worker is STILL down when recovery re-stages params, the
+    device_put's own UNAVAILABLE must consume further recovery attempts
+    instead of escaping the run (the r4 conformer study died this way:
+    one backoff, then the re-staging raise ended the process)."""
+    import jax as jax_mod
+
+    from asr_shap.pipeline import run_shap as rs
+
+    real_builder = rs._build_group_step
+    real_device_put = jax_mod.device_put
+    state = {"crashed": 0, "put_failures": 0}
+
+    def flaky_builder(cfg, mesh, g):
+        real = real_builder(cfg, mesh, g)
+        if g > 1 and not state["crashed"]:
+            def crash(*a):
+                state["crashed"] += 1
+                raise jax_mod.errors.JaxRuntimeError(
+                    "UNAVAILABLE: TPU worker process crashed (simulated)"
+                )
+
+            return crash
+        return real
+
+    def flaky_device_put(x, *a, **kw):
+        # fail the first re-staging attempt (worker still down), succeed after
+        if state["crashed"] and state["put_failures"] < 1:
+            state["put_failures"] += 1
+            raise jax_mod.errors.JaxRuntimeError(
+                "UNAVAILABLE: TPU worker process crashed (still down)"
+            )
+        return real_device_put(x, *a, **kw)
+
+    monkeypatch.setattr(rs, "_build_group_step", flaky_builder)
+    monkeypatch.setattr(jax_mod, "device_put", flaky_device_put)
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    pcfg = PipelineConfig(
+        model=tiny_config,
+        explainer=ExplainerConfig(nsamples=2, draw_chunk=2, num_background=2),
+        testset=cfg, data_dir=str(tmp_path), sample_batch=4,
+        crash_retries=3, crash_backoff_s=0.0,
+    )
+    results = rs.run_shap_pipeline(params, pcfg, ts,
+                                   AttributionStore(str(tmp_path)))
+    assert state["crashed"] == 1 and state["put_failures"] == 1
+    assert len(results) == len(ts)
+    for r in results:
+        assert np.isfinite(r["shap_values"]).all()
