@@ -529,3 +529,40 @@ def test_committed_medium_study_is_self_consistent():
     wer = [s["per_snr"][k]["mean_wer"] for k in order]
     assert all(a > b for a, b in zip(eta, eta[1:]))
     assert all(a <= b for a, b in zip(wer, wer[1:]))
+
+
+def test_committed_conformer_study_is_self_consistent():
+    """Guard the committed round-4 conformer-family study
+    (artifacts/study_r4_conformer/): 63 rows (9 clips; the 10th is the
+    documented worker-fault bucket), summary reproducible from records,
+    monotone per-SNR eta_raw, CI excluding 0. WER is deliberately NOT
+    asserted monotone: at -2 dB the conformer inserts (WER>1) while at
+    -5 dB it deletes (WER~1)."""
+    import json
+    import os
+
+    from asr_shap.pipeline.sweep import sweep_summary
+
+    base = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "study_r4_conformer")
+    rec_path = os.path.join(base, "records.jsonl")
+    sum_path = os.path.join(base, "summary.json")
+    if not (os.path.exists(rec_path) and os.path.exists(sum_path)):
+        import pytest
+
+        pytest.skip("conformer study artifacts not present")
+    records = [json.loads(l) for l in open(rec_path)]
+    committed = json.load(open(sum_path))
+    assert len(records) == 63
+    s = sweep_summary(records)
+    assert abs(s["pearson_r_noisy"] - committed["pearson_r_noisy"]) < 1e-9
+    assert abs(s["spearman_rho_noisy"]
+               - committed["spearman_rho_noisy"]) < 1e-9
+    for got, want in zip(s["spearman_ci95_noisy"],
+                         committed["spearman_ci95_noisy"]):
+        assert abs(got - want) < 1e-9
+    assert s["n_noisy"] == committed["n_noisy"] == 54
+    assert committed["spearman_ci95_noisy"][1] < 0
+    order = ("inf", "5", "2", "1", "0", "-2", "-5")
+    eta = [s["per_snr"][k]["mean_eta_raw"] for k in order]
+    assert all(a > b for a, b in zip(eta, eta[1:]))
