@@ -35,6 +35,21 @@ def aggregation_head(
     raise ValueError(f"unknown aggregation head {kind!r}")
 
 
+def model_logits_fn(model_cfg: Wav2Vec2Config):
+    """Model-family dispatch on the config type: Wav2Vec2ConformerConfig is
+    a Wav2Vec2Config subclass, so every consumer (explainer heads, the
+    pipeline, training) selects the right forward from the config alone."""
+    from asr_shap.core.config import Wav2Vec2ConformerConfig
+
+    if isinstance(model_cfg, Wav2Vec2ConformerConfig):
+        from asr_shap.models.w2v2_conformer import w2v2_conformer_logits
+
+        return w2v2_conformer_logits
+    from asr_shap.models.wav2vec2 import wav2vec2_logits
+
+    return wav2vec2_logits
+
+
 def make_explained_fn(
     params,
     model_config: Wav2Vec2Config,
@@ -44,15 +59,17 @@ def make_explained_fn(
     """Build f: normalized waveform [N] -> explained outputs [T_out].
 
     Single-sample signature by design — the explainer vmaps it over
-    interpolation draws and jacobian rows.
+    interpolation draws and jacobian rows. The forward is chosen by the
+    config's type (``model_logits_fn``), so a Wav2Vec2ConformerConfig gets
+    the conformer forward here just as it does in the pipeline.
     """
-    from asr_shap.models.wav2vec2 import wav2vec2_logits
+    logits_fn = model_logits_fn(model_config)
 
     use_remat = explainer_config.remat if remat is None else remat
     ec = explainer_config
 
     def f(x: jnp.ndarray) -> jnp.ndarray:
-        logits = wav2vec2_logits(params, model_config, x[None, :], remat=use_remat)
+        logits = logits_fn(params, model_config, x[None, :], remat=use_remat)
         out = aggregation_head(logits, ec.aggregation, ec.token_timestep, ec.token_id)
         return out[0]
 

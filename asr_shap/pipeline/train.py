@@ -34,18 +34,10 @@ from asr_shap.ops.ctc import ctc_loss
 logger = logging.getLogger(__name__)
 
 
-def model_logits_fn(model_cfg: Wav2Vec2Config):
-    """Family dispatch on the config type, the same rule the explainer
-    pipeline uses (run_shap._sample_step): Wav2Vec2ConformerConfig is a
-    Wav2Vec2Config subclass, so training serves both families from one
-    loop (reference R6 trains D1; R12's conformer gets the same loop)."""
-    from asr_shap.core.config import Wav2Vec2ConformerConfig
-
-    if isinstance(model_cfg, Wav2Vec2ConformerConfig):
-        from asr_shap.models.w2v2_conformer import w2v2_conformer_logits
-
-        return w2v2_conformer_logits
-    return wav2vec2_logits
+# Family dispatch on the config type, shared with the explainer heads —
+# training serves both families from one loop (reference R6 trains D1;
+# R12's conformer gets the same loop).
+from asr_shap.models.heads import model_logits_fn  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------- optimizer

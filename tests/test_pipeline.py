@@ -596,3 +596,25 @@ def test_worker_crash_recovery_retries_failed_restaging(
     assert len(results) == len(ts)
     for r in results:
         assert np.isfinite(r["shap_values"]).all()
+
+
+def test_make_explained_fn_dispatches_conformer(tiny_config):
+    """make_explained_fn must select the forward from the config type — a
+    ConformerConfig silently running the wav2vec2 forward was a latent API
+    bug for direct library users (the pipeline built its own fn)."""
+    import jax.numpy as jnp
+
+    from asr_shap.core.config import ExplainerConfig, Wav2Vec2ConformerConfig
+    from asr_shap.models.heads import make_explained_fn
+    from asr_shap.models.w2v2_conformer import init_w2v2_conformer_params
+
+    ccfg = Wav2Vec2ConformerConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, conv_dim=(32, 32), conv_stride=(5, 2),
+        conv_kernel=(10, 3), feat_proj_dim=32, conv_depthwise_kernel_size=7,
+    )
+    params = init_w2v2_conformer_params(jax.random.key(0), ccfg)
+    f = make_explained_fn(params, ccfg, ExplainerConfig(remat=False))
+    out = f(jnp.zeros(1600))
+    assert out.shape == (ccfg.frames_for_samples(1600),)
+    assert np.isfinite(np.asarray(out)).all()
