@@ -135,6 +135,7 @@ def cmd_run_shap(args):
         explainer=ExplainerConfig(nsamples=args.nsamples,
                                   draw_chunk=args.draw_chunk,
                                   output_chunk=args.output_chunk,
+                                  host_draw_chunk=args.host_draw_chunk,
                                   method=args.method,
                                   num_background=args.num_background,
                                   kmeans_background=args.kmeans),
@@ -333,6 +334,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "T_frames at once — fastest when it fits; the "
                         "default bounds backward memory so reference-length "
                         "clips >=100k samples don't overrun a 16 GB chip)")
+    p.add_argument("--host-draw-chunk", type=int, default=0,
+                   help="split the draw loop over ceil(nsamples/N) separate "
+                        "device calls of N draws each (0 = one call). Use "
+                        "when a single long execution hits an environment "
+                        "deadline and kills the worker (the r4 conformer "
+                        "study's longest bucket)")
     p.add_argument("--sample-batch", type=int, default=0,
                    help="samples explained per jitted call (0 = auto: 2 "
                         "only for short clips (<100k samples) under small "

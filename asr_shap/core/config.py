@@ -199,6 +199,18 @@ class ExplainerConfig:
     draw_chunk: int = 8       # interpolation draws evaluated per scan step
     output_chunk: int = 0     # 0 = all output frames in one batched VJP
     remat: bool = True        # jax.checkpoint through the encoder for backward
+    # >0: split the draw loop over ceil(nsamples / host_draw_chunk) SEPARATE
+    # device calls of host_draw_chunk draws each, phi averaged across calls.
+    # The remedy for execution-environment limits on one device call (the
+    # r4 conformer study: a single 200-draw scan at 145.6k samples ran long
+    # enough that the TPU worker was killed mid-execution, while 80-draw
+    # calls of the identical program completed — r4_conf_fault probes).
+    # Draw keys derive per chunk (fold(sample_draw_key, chunk)), so results
+    # are deterministic given (seed, sample, host_draw_chunk) but differ
+    # from the single-call draw sequence; nsamples rounds UP to a multiple
+    # of the chunk. Single-device only (ignored under a mesh, which has its
+    # own draw sharding).
+    host_draw_chunk: int = 0
     # LIME (lime_shap_wav2vec2_comparison.py:75-90) — consumed by the
     # LIME-vs-SHAP comparison harness (pipeline/compare.py) and the
     # ``compare`` CLI subcommand.

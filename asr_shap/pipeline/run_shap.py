@@ -209,6 +209,71 @@ def _scan_samples(step):
     return run
 
 
+def _host_chunked_step(cfg: PipelineConfig):
+    """(params, xs [g, N], keys [g]) -> per-sample results, with the draw
+    loop split over ceil(nsamples / host_draw_chunk) SEPARATE device calls
+    per sample (``ExplainerConfig.host_draw_chunk``). Each call is the same
+    program as the monolithic step but with a bounded trip count, so a
+    single execution stays under whatever deadline the execution
+    environment enforces; phi accumulates in f32 across calls."""
+    import dataclasses
+
+    mc, ec = cfg.model, cfg.explainer
+    hdc = ec.host_draw_chunk
+    n_chunks = -(-ec.nsamples // hdc)
+    logits_fn = wav2vec2_logits
+    if isinstance(mc, Wav2Vec2ConformerConfig):
+        from asr_shap.models.w2v2_conformer import w2v2_conformer_logits
+
+        logits_fn = w2v2_conformer_logits
+    chunk_ec = dataclasses.replace(ec, nsamples=hdc, host_draw_chunk=0)
+
+    @jax.jit
+    def decode_step(params, x):
+        logits = logits_fn(params, mc, x[None, :])
+        conf = mean_max_softmax_confidence(logits)[0]
+        ids, keep = ctc_greedy_decode(logits)
+        return conf, ids[0], keep[0]
+
+    @jax.jit
+    def chunk_step(params, x, sample_key, draw_key):
+        def f(xx):
+            logits = logits_fn(params, mc, xx[None, :], remat=ec.remat)
+            return aggregation_head(
+                logits, ec.aggregation, ec.token_timestep, ec.token_id
+            )[0]
+
+        bg = zeros_noise_background(
+            fold(sample_key, 0), x.shape[0], ec.num_background,
+            ec.background_sigma
+        )
+        if ec.kmeans_background > 0:
+            from asr_shap.explain.baselines import kmeans_background
+
+            bg = kmeans_background(fold(sample_key, 2), bg,
+                                   ec.kmeans_background)
+        return expected_gradients(f, x, bg, draw_key, chunk_ec).values
+
+    def run(params, xs, keys):
+        phis, confs, idss, keeps = [], [], [], []
+        for i in range(xs.shape[0]):
+            x, key = xs[i], keys[i]
+            conf, ids, keep = decode_step(params, x)
+            acc = None
+            draws_root = fold(key, 1)
+            for c in range(n_chunks):
+                phi_c = chunk_step(params, x, key, fold(draws_root, c))
+                acc = phi_c if acc is None else acc + phi_c
+            phis.append(acc / n_chunks)
+            confs.append(conf)
+            idss.append(ids)
+            keeps.append(keep)
+        return (jnp.stack(phis), jnp.stack(confs), jnp.stack(idss),
+                jnp.stack(keeps))
+
+    return run
+
+
 def _build_group_step(cfg: PipelineConfig, mesh, g: int):
     """jitted (params, xs [g, N], keys [g]) -> per-sample results.
 
@@ -218,7 +283,13 @@ def _build_group_step(cfg: PipelineConfig, mesh, g: int):
       (throughput mode; g is a multiple of the axis size; each device
       scans its local samples);
     * no mesh             -> lax.scan over the g samples in one executable.
+    * host_draw_chunk set, no mesh -> Python loop of bounded device calls
+      (_host_chunked_step); under a mesh the option is ignored (the mesh
+      paths have their own draw sharding).
     """
+    if (cfg.explainer.host_draw_chunk > 0 and mesh is None
+            and cfg.explainer.method != "deep"):
+        return _host_chunked_step(cfg)
     if mesh is not None and g == 1:
         step = _sample_step(cfg, mesh)
         return jax.jit(lambda p, xs, ks: jax.tree.map(
