@@ -51,8 +51,13 @@ TF/s, conv dgrad 36 ms at 62 TF/s; both flops-bound on MXU-hostile shapes:
 Cin=1/stride-10 first conv layer, stride-2 dilated dgrads, T=149
 attention). Draw batching cannot help a row-batched flops-bound backward —
 the full r4_dc_form grid measures every draw-chunked formulation at
-0.64-0.96x the incumbent. Day-to-day relay drift on identical programs is
-+-15-25% (1795 measured 2026-08-16, 1430-1457 on 2026-08-17).
+0.64-0.96x the incumbent, and the r5_conv_bwd probe closes the last
+formulation cell: the polyphase GEMM backward (hybrid at draw_chunk=1,
+never previously measured) loses to XLA's dilated dgrad 1.7x on the
+conv-only Jacobian and 1.23x end-to-end — XLA's conv emitter is already
+efficient on these shapes. Day-to-day relay drift on identical programs is
++-15-25% (1795 measured 2026-08-16, 1430-1457 on 2026-08-17, ~1210 on
+2026-08-18).
 
 Remat policy (r3_remat_ab, interleaved): "full" replay, the "dots" policy
 (store matmul outputs, recompute elementwise), and remat=False are all
