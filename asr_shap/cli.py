@@ -11,6 +11,9 @@ flag-driven instead of module-level side effects and input() prompts
   compare    : LIME-vs-SHAP comparison on one clip (4-panel figure + wavs)
   bench      : explainer runtime-vs-length sweep
   train      : CTC training on the text-conditional synthetic corpus
+  transcribe : greedy CTC transcription of wav/npy clips (the reference's
+               minimal load->process->logits->argmax->decode flow,
+               test_wav2vec2.py:1-19)
 """
 
 from __future__ import annotations
@@ -290,6 +293,45 @@ def cmd_train(args):
     print(json.dumps(summary))
 
 
+def cmd_transcribe(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asr_shap.audio.normalize import zero_mean_unit_var
+    from asr_shap.metrics.confidence import mean_max_softmax_confidence
+    from asr_shap.models.heads import model_logits_fn
+    from asr_shap.ops.ctc import ctc_greedy_decode, ctc_ids_to_text
+
+    params, cfg = _load_model(args)
+    logits_fn = model_logits_fn(cfg)
+
+    for path in args.inputs:
+        if path.endswith(".npy"):
+            audio = np.load(path).astype(np.float32).ravel()
+            sr = args.sr
+        else:
+            from asr_shap.viz.wav_io import read_wav
+
+            audio, sr = read_wav(path)
+            audio = np.asarray(audio, np.float32).ravel()
+        if sr != 16_000:
+            from asr_shap.audio.resample import resample
+
+            audio = np.asarray(resample(jnp.asarray(audio), sr, 16_000))
+        x = zero_mean_unit_var(jnp.asarray(audio))[None]
+        logits = logits_fn(params, cfg, x)
+        ids, keep = ctc_greedy_decode(logits)
+        text = ctc_ids_to_text(np.asarray(ids[0]), np.asarray(keep[0]))
+        conf = float(mean_max_softmax_confidence(logits[0]))
+        print(json.dumps({
+            "path": path,
+            "transcript": text,
+            "confidence": round(conf, 4),
+            "samples": int(audio.shape[0]),
+            "frames": int(logits.shape[1]),
+        }))
+
+
 def cmd_bench(args):
     from asr_shap.core.config import Wav2Vec2Config
     from asr_shap.pipeline.benchmarks import run_length_sweep
@@ -426,6 +468,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target-wer", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("transcribe",
+                       help="greedy CTC transcription of wav/npy clips "
+                            "(reference test_wav2vec2.py flow)")
+    _add_model_args(p)
+    p.add_argument("inputs", nargs="+",
+                   help=".wav or .npy waveform files (npy assumed --sr)")
+    p.add_argument("--sr", type=int, default=16_000,
+                   help="sample rate of .npy inputs (resampled to 16 kHz "
+                        "when different; .wav files carry their own rate)")
+    p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("bench", help="runtime-vs-length sweep")
     p.add_argument("--lengths", type=int, nargs="+",

@@ -123,10 +123,36 @@ def test_cli_help_all_subcommands():
     import asr_shap.cli as cli
 
     parser = cli.build_parser()
-    for cmd in ("run-shap", "sweep", "metric", "visualize", "bench"):
+    for cmd in ("run-shap", "sweep", "metric", "visualize", "bench",
+                "compare", "train", "transcribe"):
         with pytest.raises(SystemExit) as e:
             parser.parse_args([cmd, "--help"])
         assert e.value.code == 0
+
+
+def test_cli_transcribe_npy_and_wav(tmp_path, capsys):
+    """The reference's minimal load->logits->argmax->decode flow
+    (test_wav2vec2.py:1-19) as a subcommand: npy at 16 kHz and wav at
+    8 kHz (exercising the resample path) both produce a JSON record."""
+    from asr_shap.viz.wav_io import write_wav
+
+    rng = np.random.default_rng(0)
+    clip = (0.1 * rng.standard_normal(1600)).astype(np.float32)
+    npy = str(tmp_path / "clip.npy")
+    np.save(npy, clip)
+    wav = str(tmp_path / "clip8k.wav")
+    write_wav(wav, clip[:800], sr=8000)
+
+    cli_main(["transcribe", "--tiny", "--random-init", npy, wav])
+    lines = capsys.readouterr().out.strip().splitlines()
+    recs = [json.loads(ln) for ln in lines[-2:]]
+    assert recs[0]["path"] == npy and recs[0]["samples"] == 1600
+    # 800 samples at 8 kHz resample to 1600 at 16 kHz
+    assert recs[1]["path"] == wav and recs[1]["samples"] == 1600
+    for r in recs:
+        assert isinstance(r["transcript"], str)
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["frames"] > 0
 
 
 def test_params_npz_carries_config(tmp_path):
