@@ -14,6 +14,9 @@ flag-driven instead of module-level side effects and input() prompts
   transcribe : greedy CTC transcription of wav/npy clips (the reference's
                minimal load->process->logits->argmax->decode flow,
                test_wav2vec2.py:1-19)
+  faithfulness : deletion/insertion occlusion curves over a stored
+               attribution set — does masking the top-attributed samples
+               destroy the transcript faster than masking random ones?
 """
 
 from __future__ import annotations
@@ -293,6 +296,48 @@ def cmd_train(args):
     print(json.dumps(summary))
 
 
+def cmd_faithfulness(args):
+    from asr_shap.core.store import AttributionStore
+    from asr_shap.metrics.faithfulness import (
+        faithfulness_curve, faithfulness_summary, make_transcribe_fn,
+    )
+    from asr_shap.models.heads import model_logits_fn
+
+    import numpy as np
+
+    params, cfg = _load_model(args)
+    store = AttributionStore(args.data_dir)
+    transcribe = make_transcribe_fn(params, cfg, model_logits_fn(cfg))
+
+    records = []
+    out_fh = open(args.out, "w") if args.out else None
+    for i, data in enumerate(store.iter_samples()):
+        if args.limit and i >= args.limit:
+            break
+        rec = faithfulness_curve(
+            transcribe, np.asarray(data["audio"]),
+            np.asarray(data["shap_values"]), str(data["text"]),
+            fractions=tuple(args.fractions), mode=args.mode, fill=args.fill,
+            n_random=args.n_random, seed=args.seed + i,
+        )
+        k = data["key"]
+        rec["key"] = f"sample_{k.index}_{k.type}_{k.snr}"
+        records.append(rec)
+        line = json.dumps(rec)
+        print(line)
+        if out_fh:
+            out_fh.write(line + "\n")
+            out_fh.flush()
+    summary = faithfulness_summary(records)
+    summary["mode"] = args.mode
+    summary["fill"] = args.fill
+    summary["fractions"] = list(args.fractions)
+    print(json.dumps(summary))
+    if out_fh:
+        out_fh.write(json.dumps(summary) + "\n")
+        out_fh.close()
+
+
 def cmd_transcribe(args):
     import jax.numpy as jnp
     import numpy as np
@@ -468,6 +513,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target-wer", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("faithfulness",
+                       help="deletion/insertion faithfulness curves over "
+                            "a stored attribution set (occlusion AUC vs "
+                            "seeded random-ranking controls)")
+    _add_model_args(p)
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--fractions", type=float, nargs="+",
+                   default=[0.01, 0.02, 0.05, 0.1, 0.2])
+    p.add_argument("--mode", choices=["deletion", "insertion"],
+                   default="deletion")
+    p.add_argument("--fill", choices=["zero", "noise"], default="zero")
+    p.add_argument("--n-random", type=int, default=3,
+                   help="random-ranking control repetitions per fraction")
+    p.add_argument("--limit", type=int, default=0,
+                   help="stop after N samples (0 = all)")
+    p.add_argument("--out", type=str, default=None,
+                   help="also append records+summary JSONL here")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_faithfulness)
 
     p = sub.add_parser("transcribe",
                        help="greedy CTC transcription of wav/npy clips "
