@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from asr_shap.core.config import Wav2Vec2Config
+from asr_shap.kernels import conv_dgrad
 from asr_shap.ops.attention import multi_head_attention
 
 Params = Dict[str, Any]
@@ -173,14 +174,20 @@ def _conv1d(
     (the feature-encoder shape): "lax" (default — fastest measured,
     r3_conv_ab), "gemm" (stride-blocked GEMMs both ways), "hybrid"
     (lax forward + GEMM backward; compiles at multi-draw cotangent batches
-    where the lax dgrad crashes the compile helper). Grouped or padded
-    convs (the positional conv embedding) always use ``lax.conv``.
+    where the lax dgrad crashes the compile helper), "pallas" (lax forward +
+    fused polyphase Pallas dgrad, kernels/conv_dgrad.py — lane-degenerate
+    layers such as the C_in=1 first layer fall back to lax). Grouped or
+    padded convs (the positional conv embedding) always use ``lax.conv``.
     """
     eligible = groups == 1 and padding == 0 and stride > 1
     if impl == "gemm" and eligible:
         y = _conv1d_gemm(x, kernel, stride)
     elif impl == "hybrid" and eligible:
         y = _conv1d_hybrid(x, kernel, stride)
+    elif (impl == "pallas" and eligible
+          and conv_dgrad.eligible(kernel.shape[1], kernel.shape[2],
+                                  stride, groups, padding)):
+        y = conv_dgrad.conv1d_pallas(x, kernel, stride)
     else:
         y = _conv1d_lax(x, kernel, stride, padding, groups)
     if bias is not None:

@@ -55,7 +55,15 @@ the full r4_dc_form grid measures every draw-chunked formulation at
 formulation cell: the polyphase GEMM backward (hybrid at draw_chunk=1,
 never previously measured) loses to XLA's dilated dgrad 1.7x on the
 conv-only Jacobian and 1.23x end-to-end — XLA's conv emitter is already
-efficient on these shapes. Day-to-day relay drift on identical programs is
+efficient on these shapes. Round 5 closed the question from the last
+remaining direction by building the fused Pallas polyphase dgrad anyway
+(kernels/conv_dgrad.py): bit-exact, but XLA's dgrad runs the dominant
+layer at 154.6 TF/s — 78% of bf16 peak counting only useful FLOPs — so
+the "dilated dgrad wastes its MACs" premise is simply false on v5e, and
+the conv backward's lower aggregate rate lives in bandwidth-bound
+norm/GELU backward and small-t tail layers that no MXU kernel can fix
+(r5_conv_pallas_raw rows; artifacts/kernel_decision.md round-5 section).
+Day-to-day relay drift on identical programs is
 +-15-25% (1795 measured 2026-08-16, 1430-1457 on 2026-08-17, ~1210 on
 2026-08-18).
 

@@ -272,3 +272,69 @@ def test_remat_dots_policy_grads_match_full(rng):
     g_dots = grad_for(dataclasses.replace(cfg, remat_policy="dots"))
     np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_dots),
                                atol=1e-5)
+
+
+def test_conv1d_pallas_dgrad_matches_lax(rng):
+    """The fused polyphase Pallas dgrad (kernels/conv_dgrad.py, interpret
+    mode on CPU) must match lax.conv's input-VJP across the lane-aligned
+    feature-encoder tap/stride shapes, including multi-tile grids (halo
+    rows across the 256-row tile boundary), ragged final tiles, and the
+    explainer's vmapped-cotangent-batch pattern
+    (explain/expected_gradients.py::_jacobian)."""
+    import jax
+    import jax.numpy as jnp
+
+    from asr_shap.kernels.conv_dgrad import conv1d_dgrad
+    from asr_shap.models.wav2vec2 import _conv1d
+
+    for k, s, t in [
+        (3, 2, 1201),  # multi-tile: T_out=600 > TV, exercises halo
+        (3, 2, 498),
+        (2, 2, 61),
+        (5, 3, 802),   # non-dividing K/s, phase r=2 has no second tap
+    ]:
+        cin = cout = 128
+        x = jnp.asarray(rng.standard_normal((2, t, cin)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, cin, cout)) * 0.1, jnp.float32)
+
+        y_lax = _conv1d(x, w, stride=s, impl="lax")
+        y = _conv1d(x, w, stride=s, impl="pallas")
+        np.testing.assert_allclose(y, y_lax, atol=2e-4, rtol=1e-5)
+
+        ct = jnp.asarray(rng.standard_normal(y_lax.shape), jnp.float32)
+        dx_lax = jax.vjp(lambda a: _conv1d(a, w, stride=s, impl="lax"),
+                         x)[1](ct)[0]
+        dx = conv1d_dgrad(ct, w, s, t)
+        np.testing.assert_allclose(dx, dx_lax, atol=2e-3, rtol=1e-4)
+
+        dx2 = jax.vjp(lambda a: _conv1d(a, w, stride=s, impl="pallas"),
+                      x)[1](ct)[0]
+        np.testing.assert_allclose(dx2, dx_lax, atol=2e-3, rtol=1e-4)
+
+        dw = jax.vjp(lambda b: _conv1d(x, b, stride=s, impl="pallas"),
+                     w)[1](ct)[0]
+        dw_lax = jax.vjp(lambda b: _conv1d(x, b, stride=s, impl="lax"),
+                         w)[1](ct)[0]
+        np.testing.assert_allclose(dw, dw_lax, atol=5e-3, rtol=1e-4)
+
+    # The explainer's pattern: vmap a one-hot cotangent basis through the
+    # VJP closure — the pallas_call inside the custom VJP must batch.
+    k, s, t, cin, cout = 3, 2, 340, 128, 128
+    x1 = jnp.asarray(rng.standard_normal((1, t, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, cin, cout)) * 0.1, jnp.float32)
+
+    def scalar_rows(impl):
+        f = lambda a: _conv1d(a, w, stride=s, impl=impl).sum(-1)[0]  # [T_out]
+        y, vjp_fn = jax.vjp(f, x1)
+        eye = jnp.eye(y.shape[0], dtype=y.dtype)
+        return jax.vmap(lambda e: vjp_fn(e)[0])(eye)
+
+    np.testing.assert_allclose(scalar_rows("pallas"), scalar_rows("lax"),
+                               atol=2e-3, rtol=1e-4)
+
+    # Lane-degenerate first layer (C_in=1) must fall back to lax, not crash.
+    x0 = jnp.asarray(rng.standard_normal((1, 997, 1)), jnp.float32)
+    w0 = jnp.asarray(rng.standard_normal((10, 1, 128)) * 0.1, jnp.float32)
+    np.testing.assert_allclose(
+        _conv1d(x0, w0, stride=5, impl="pallas"),
+        _conv1d(x0, w0, stride=5, impl="lax"), atol=2e-4, rtol=1e-5)
