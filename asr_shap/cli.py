@@ -144,7 +144,8 @@ def cmd_run_shap(args):
                                   host_draw_chunk=args.host_draw_chunk,
                                   method=args.method,
                                   num_background=args.num_background,
-                                  kmeans_background=args.kmeans),
+                                  kmeans_background=args.kmeans,
+                                  kernel_num_segments=args.kernel_segments),
         testset=tcfg, data_dir=args.data_dir, seed=args.seed,
         sample_batch=args.sample_batch,
     )
@@ -435,9 +436,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--async-writes", action="store_true",
                    help="write npy files through the native C++ writer pool "
                         "(overlaps disk IO with device compute)")
-    p.add_argument("--method", choices=["grad", "deep"], default="grad",
+    p.add_argument("--method", choices=["grad", "deep", "kernel"],
+                   default="grad",
                    help="grad = GradientExplainer (expected gradients); "
-                        "deep = DeepExplainer (DeepSHAP rescale rules)")
+                        "deep = DeepExplainer (DeepSHAP rescale rules); "
+                        "kernel = KernelSHAP (model-agnostic Shapley-kernel "
+                        "regression over waveform segments)")
+    p.add_argument("--kernel-segments", type=int, default=32,
+                   help="KernelSHAP coalition segments over the waveform "
+                        "(--method kernel)")
     p.add_argument("--num-background", type=int, default=5,
                    help="background rows (zeros + sigma*noise, "
                         "shap_calculation.py:126-127)")

@@ -75,7 +75,8 @@ class Wav2Vec2Config:
     # Feature-encoder conv formulation: "lax" (fastest measured, r3_conv_ab),
     # "gemm" (stride-blocked GEMMs), "hybrid" (lax forward + GEMM backward —
     # required when the explainer batches >1 draw per executable, whose
-    # multi-row lax dgrad crashes some compile services). See
+    # multi-row lax dgrad crashes some compile services), "pallas" (lax
+    # forward + fused polyphase Pallas dgrad, kernels/conv_dgrad.py). See
     # models/wav2vec2.py::_conv1d.
     conv_impl: str = "lax"
 
@@ -185,7 +186,10 @@ class ExplainerConfig:
     background_sigma: float = 0.01  # zeros + sigma*N(0,1) (shap_calculation.py:127)
     # Attribution method: "grad" = expected gradients (GradientExplainer,
     # the main pipeline, shap_calculation.py:133); "deep" = DeepSHAP rescale
-    # rules through the dual-mode forward (DeepExplainer, test_shap_asr.py:67).
+    # rules through the dual-mode forward (DeepExplainer, test_shap_asr.py:67);
+    # "kernel" = segment-level KernelSHAP (the Shapley-kernel weighted
+    # regression — shap's model-agnostic KernelExplainer family, SURVEY.md
+    # D4; nsamples = coalition budget, paired importance sampling).
     method: str = "grad"
     # Aggregation head defining the explained function (SURVEY.md section 3.5):
     #   "max"        -> max over vocab per frame    [T]   (shap_calculation.py:50)
@@ -228,6 +232,9 @@ class ExplainerConfig:
     # the background set, so the reference's separate nsamples=500 argument
     # is subsumed by num_background/kmeans_background.
     kmeans_background: int = 0
+    # KernelSHAP coalition features over the waveform (method="kernel";
+    # explain/kernel_shap.py) — the segment count of the coalition game.
+    kernel_num_segments: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

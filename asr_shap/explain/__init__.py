@@ -18,6 +18,10 @@ from asr_shap.explain.expected_gradients import (
     expected_gradients,
     expected_gradients_sharded,
 )
+from asr_shap.explain.kernel_shap import (
+    KernelShapExplanation,
+    kernel_shap_attributions,
+)
 from asr_shap.explain.lime import LimeExplanation, lime_attributions
 
 __all__ = [
@@ -40,4 +44,6 @@ __all__ = [
     "glu_rescale",
     "LimeExplanation",
     "lime_attributions",
+    "KernelShapExplanation",
+    "kernel_shap_attributions",
 ]

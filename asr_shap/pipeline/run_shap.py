@@ -139,6 +139,19 @@ def _sample_step(cfg: PipelineConfig, mesh=None):
             )
             f_dual = dual_builder(params, mc, ec)
             expl = deep_shap_values(f_dual, x, bg, ec.output_chunk)
+        elif ec.method == "kernel":
+            # model-agnostic Shapley via the Shapley-kernel regression
+            # (shap.KernelExplainer, the third shap explainer family —
+            # SURVEY.md D4); baseline = mean of the background rows, the
+            # KernelExplainer multi-row-background convention
+            from asr_shap.explain.kernel_shap import kernel_shap_attributions
+
+            expl = kernel_shap_attributions(
+                f, x, fold(key, 1),
+                num_segments=ec.kernel_num_segments,
+                num_samples=ec.nsamples,
+                baseline=jnp.mean(bg, axis=0),
+            )
         elif mesh is not None:
             expl = expected_gradients_sharded(f, x, bg, fold(key, 1), mesh, ec)
         else:
@@ -179,9 +192,10 @@ def _group_size(cfg: PipelineConfig, mesh, length: int) -> int:
     if mesh is None:
         return g
     ndev = int(np.prod(mesh.devices.shape[:1]))
-    if cfg.explainer.method == "deep":
-        # DeepSHAP has no draw axis to shard — always sample-shard, rounding
-        # the group UP to cover the device axis (pads are dropped)
+    if cfg.explainer.method in ("deep", "kernel"):
+        # DeepSHAP/KernelSHAP have no draw axis to shard — always
+        # sample-shard, rounding the group UP to cover the device axis
+        # (pads are dropped)
         return max(ndev, -(-g // ndev) * ndev)
     if g >= ndev:
         return (g // ndev) * ndev
@@ -288,7 +302,7 @@ def _build_group_step(cfg: PipelineConfig, mesh, g: int):
       paths have their own draw sharding).
     """
     if (cfg.explainer.host_draw_chunk > 0 and mesh is None
-            and cfg.explainer.method != "deep"):
+            and cfg.explainer.method == "grad"):
         return _host_chunked_step(cfg)
     if mesh is not None and g == 1:
         step = _sample_step(cfg, mesh)

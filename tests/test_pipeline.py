@@ -198,6 +198,28 @@ def test_run_pipeline_deepshap_method(tiny_testset, tiny_config, tmp_path):
     np.testing.assert_array_equal(phi, r2[0]["shap_values"])
 
 
+def test_run_pipeline_kernel_shap_method(tiny_testset, tiny_config, tmp_path):
+    """method="kernel" routes the pipeline through segment-level KernelSHAP
+    (shap's model-agnostic KernelExplainer family, SURVEY.md D4): same
+    [N, T_frames] layout, efficiency per output frame holds by construction
+    (segment values sum to f(x) - f(baseline))."""
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    pcfg = PipelineConfig(
+        model=tiny_config,
+        explainer=ExplainerConfig(method="kernel", nsamples=64,
+                                  kernel_num_segments=8, num_background=2,
+                                  aggregation="mean", remat=False),
+        testset=cfg, data_dir=str(tmp_path),
+    )
+    results = run_shap_pipeline(params, pcfg, ts[:1], AttributionStore(str(tmp_path)))
+    assert len(results) == 1
+    phi = results[0]["shap_values"]
+    n = len(ts[0]["audio"])
+    assert phi.shape == (n, tiny_config.frames_for_samples(n))
+    assert np.isfinite(phi).all()
+
+
 def test_group_size_fixed_executables(tiny_testset, tiny_config, tmp_path):
     """sample_batch=2 over a 2-sample set: results identical to serial
     (sample_batch=1) and to the default batch — grouping never changes
