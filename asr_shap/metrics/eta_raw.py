@@ -67,7 +67,18 @@ def eta_raw(
 
     bar_phi = jnp.mean(phi_total[:trunc].reshape(num_segments, seg), axis=1)
     tau = jnp.percentile(bar_phi, config.percentile, method="linear")
-    relevant = bar_phi > tau
+    # Tie-aware relevance: the reference compares strictly
+    # (calculate_metric.py:143 `relevant_segments = bar_phi > tau`), which is
+    # well-defined for its continuous gradient attributions — the linearly
+    # interpolated tau falls strictly between order statistics, so >= and >
+    # select the same set. For tie-heavy attributions (segment-level
+    # explainers like KernelSHAP/LIME broadcast one value across thousands
+    # of samples) the strict form degenerates: when the top tied block spans
+    # more than (100 - percentile)%, tau equals the maximum and NO segment is
+    # strictly above it, forcing eta_raw to 0 regardless of where the
+    # attribution mass sits. >= keeps the reference semantics on every
+    # reference-reachable input and grades the whole top block otherwise.
+    relevant = bar_phi >= tau
     denom = jnp.sum(relevant)
     num = jnp.sum(relevant & itm)
     return jnp.where(denom == 0, 0.0, num / jnp.maximum(denom, 1))

@@ -46,7 +46,7 @@ def _eta_oracle(clean, noise, shap, sr, segment_ms, percentile, half):
     itm = ec > (0.5 * eu if half else eu)
     phi = np.abs(shap[:tr]).sum(1).reshape(ns, seg).mean(1)
     tau = np.percentile(phi, percentile)
-    rel = phi > tau
+    rel = phi >= tau  # tie-aware form; == reference's > for continuous phi
     if rel.sum() == 0:
         return 0.0
     return (rel & itm).sum() / rel.sum()
@@ -93,6 +93,33 @@ def test_eta_raw_anti_attribution(rng):
     cfg = MetricConfig(segment_ms=20.0, percentile=90.0, itm_variant="strict")
     val = float(eta_raw(jnp.asarray(clean), jnp.asarray(noise), jnp.asarray(shap), cfg))
     assert val == 0.0
+
+
+def test_eta_raw_segment_constant_attribution_not_degenerate(rng):
+    """Piecewise-constant attributions (segment-level explainers: KernelSHAP
+    and LIME broadcast one value per coalition segment) must still be graded:
+    when the top tied block spans more than the top percentile, the strict
+    reference comparison would select an empty relevant set and force
+    eta_raw to 0; the tie-aware >= grades the whole top block instead."""
+    n, s = 16000, 16  # 16 coalition segments of 1000 samples (6.25% each)
+    clean = np.zeros(n, np.float32)
+    clean[:8000] = rng.standard_normal(8000).astype(np.float32) * 2
+    noise = np.zeros(n, np.float32)
+    noise[8000:] = rng.standard_normal(8000).astype(np.float32) * 2
+    seg_vals = np.zeros(s, np.float32)
+    seg_vals[2] = 5.0  # all attribution mass on one speech-side segment
+    phi = np.repeat(seg_vals, n // s).astype(np.float32)  # [N], tie blocks
+    cfg = MetricConfig(segment_ms=0.0625, percentile=99.0, itm_variant="strict")
+    val = float(eta_raw(jnp.asarray(clean), jnp.asarray(noise),
+                        jnp.asarray(phi), cfg))
+    assert val == 1.0  # top block is pure speech; strict > would give 0.0
+
+    seg_vals_bad = np.zeros(s, np.float32)
+    seg_vals_bad[12] = 5.0  # mass on a noise-side segment
+    phi_bad = np.repeat(seg_vals_bad, n // s).astype(np.float32)
+    val_bad = float(eta_raw(jnp.asarray(clean), jnp.asarray(noise),
+                            jnp.asarray(phi_bad), cfg))
+    assert val_bad == 0.0
 
 
 # --------------------------------------------------------------- confidence
@@ -476,6 +503,46 @@ def test_committed_deep_study_is_self_consistent():
     eta = [s["per_snr"][k]["mean_eta_raw"] for k in order]
     wer = [s["per_snr"][k]["mean_wer"] for k in order]
     assert all(a > b for a, b in zip(eta, eta[1:]))
+    assert all(a <= b for a, b in zip(wer, wer[1:]))
+
+
+def test_committed_kernel_study_is_self_consistent():
+    """Guard the committed round-5 KernelSHAP study
+    (artifacts/study_r5_kernel/): the gradient-free, reference-scale
+    replication whose summary must be reproducible from its records with
+    the CURRENT sweep_summary, with a CI excluding 0. (Per-SNR eta_raw is
+    NOT strictly monotone for this coarse 64-segment explainer — the 1/0 dB
+    swap is documented in its README — so only the endpoints are pinned.)"""
+    import json
+    import os
+
+    from asr_shap.pipeline.sweep import sweep_summary
+
+    base = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "study_r5_kernel")
+    rec_path = os.path.join(base, "records.jsonl")
+    sum_path = os.path.join(base, "summary.json")
+    if not (os.path.exists(rec_path) and os.path.exists(sum_path)):
+        import pytest
+
+        pytest.skip("kernel study artifacts not present")
+    records = [json.loads(l) for l in open(rec_path)]
+    committed = json.load(open(sum_path))
+    assert len(records) == 70
+    s = sweep_summary(records)
+    assert abs(s["pearson_r_noisy"] - committed["pearson_r_noisy"]) < 1e-9
+    assert abs(s["spearman_rho_noisy"]
+               - committed["spearman_rho_noisy"]) < 1e-9
+    for got, want in zip(s["spearman_ci95_noisy"],
+                         committed["spearman_ci95_noisy"]):
+        assert abs(got - want) < 1e-9
+    assert s["n_noisy"] == committed["n_noisy"] == 60
+    assert committed["spearman_ci95_noisy"][1] < 0
+    per = s["per_snr"]
+    assert per["inf"]["mean_eta_raw"] > 0.99
+    assert (per["5"]["mean_eta_raw"] > per["2"]["mean_eta_raw"]
+            > per["-5"]["mean_eta_raw"])
+    wer = [per[k]["mean_wer"] for k in ("inf", "5", "2", "1", "0", "-2", "-5")]
     assert all(a <= b for a, b in zip(wer, wer[1:]))
 
 
