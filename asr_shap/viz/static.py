@@ -131,3 +131,47 @@ def plot_eta_wer_scatter(
         fig.savefig(out_path, dpi=120)
         plt.close(fig)
     return fig
+
+
+def plot_faithfulness_curves(
+    records_by_label: Dict[str, Sequence[Dict]],
+    out_path: Optional[str] = "faithfulness_curves.png",
+):
+    """Mean WER-vs-occlusion-fraction curves from faithfulness records
+    (metrics/faithfulness.py::faithfulness_curve): one color per label
+    (e.g. explainer family), attribution ranking solid, the seeded
+    random-ranking control dashed. The vertical gap between a family's
+    solid and dashed curves IS its deletion/insertion faithfulness."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 6))
+    cmap = plt.get_cmap("viridis")
+    labels = list(records_by_label)
+    mode = None
+    for i, label in enumerate(labels):
+        recs = list(records_by_label[label])
+        if not recs:
+            continue
+        mode = recs[0].get("mode", mode)
+        fracs = [0.0] + [p["fraction"] for p in recs[0]["points"]]
+        topk = np.zeros(len(fracs))
+        rand = np.zeros(len(fracs))
+        for r in recs:
+            topk += [r["base_wer"]] + [p["wer_topk"] for p in r["points"]]
+            rand += [r["base_wer"]] + [p["wer_random"] for p in r["points"]]
+        topk /= len(recs)
+        rand /= len(recs)
+        color = cmap(i / max(1, len(labels) - 1))
+        ax.plot(fracs, topk, "-o", color=color,
+                label=f"{label} (attribution)")
+        ax.plot(fracs, rand, "--", color=color,
+                label=f"{label} (random)")
+    ax.set_xlabel("occluded fraction of samples")
+    ax.set_ylabel("mean WER")
+    ax.set_title(f"{mode or 'occlusion'} faithfulness: "
+                 "attribution ranking vs random control")
+    ax.legend()
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+        plt.close(fig)
+    return fig

@@ -177,3 +177,24 @@ def test_cli_faithfulness_on_tiny_store(tmp_path, capsys):
         assert r["key"].startswith("sample_")
     saved = (tmp_path / "faith.jsonl").read_text().strip().splitlines()
     assert len(saved) == len(lines)
+
+
+def test_plot_faithfulness_curves(tmp_path):
+    """The multi-family curves figure renders from plain records (one color
+    per family, attribution solid / random dashed) and writes the file."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from asr_shap.viz.static import plot_faithfulness_curves
+
+    def rec(scale):
+        pts = [{"fraction": f, "wer_topk": scale * f * 4,
+                "wer_random": scale * f} for f in (0.05, 0.1, 0.2)]
+        return {"mode": "deletion", "base_wer": 0.0, "points": pts}
+
+    out = tmp_path / "curves.png"
+    plot_faithfulness_curves(
+        {"grad": [rec(1.0), rec(1.2)], "kernel": [rec(0.6)]},
+        out_path=str(out),
+    )
+    assert out.exists() and out.stat().st_size > 0
