@@ -337,6 +337,11 @@ def cmd_faithfulness(args):
     if out_fh:
         out_fh.write(json.dumps(summary) + "\n")
         out_fh.close()
+    if args.plot:
+        from asr_shap.viz.static import plot_faithfulness_curves
+
+        plot_faithfulness_curves({args.data_dir: records}, out_path=args.plot)
+        print(f"wrote {args.plot}")
 
 
 def cmd_transcribe(args):
@@ -538,6 +543,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after N samples (0 = all)")
     p.add_argument("--out", type=str, default=None,
                    help="also append records+summary JSONL here")
+    p.add_argument("--plot", type=str, default=None,
+                   help="write the mean WER-vs-fraction curves figure here")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_faithfulness)
 

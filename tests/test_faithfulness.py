@@ -167,16 +167,19 @@ def test_cli_faithfulness_on_tiny_store(tmp_path, capsys):
         "faithfulness", "--tiny", "--random-init", "--data-dir", d,
         "--fractions", "0.1", "0.5", "--n-random", "1",
         "--out", str(tmp_path / "faith.jsonl"),
+        "--plot", str(tmp_path / "faith.png"),
     ])
+    assert (tmp_path / "faith.png").stat().st_size > 0
     lines = capsys.readouterr().out.strip().splitlines()
-    summary = json.loads(lines[-1])
+    assert lines[-1].startswith("wrote ")
+    summary = json.loads(lines[-2])
     assert summary["n"] == 2 and summary["mode"] == "deletion"
-    recs = [json.loads(ln) for ln in lines[:-1]]
+    recs = [json.loads(ln) for ln in lines[:-2]]
     for r in recs:
         assert {p["fraction"] for p in r["points"]} == {0.1, 0.5}
         assert r["key"].startswith("sample_")
     saved = (tmp_path / "faith.jsonl").read_text().strip().splitlines()
-    assert len(saved) == len(lines)
+    assert len(saved) == len(lines) - 1  # the "wrote <plot>" line is stdout-only
 
 
 def test_plot_faithfulness_curves(tmp_path):
