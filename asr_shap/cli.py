@@ -145,7 +145,12 @@ def cmd_run_shap(args):
                                   method=args.method,
                                   num_background=args.num_background,
                                   kmeans_background=args.kmeans,
-                                  kernel_num_segments=args.kernel_segments),
+                                  kernel_num_segments=args.kernel_segments,
+                                  # --method lime reads the shared flags:
+                                  # --nsamples = perturbations, --kernel-
+                                  # segments = coalition features
+                                  lime_num_samples=args.nsamples,
+                                  lime_num_segments=args.kernel_segments),
         testset=tcfg, data_dir=args.data_dir, seed=args.seed,
         sample_batch=args.sample_batch,
     )
@@ -441,15 +446,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--async-writes", action="store_true",
                    help="write npy files through the native C++ writer pool "
                         "(overlaps disk IO with device compute)")
-    p.add_argument("--method", choices=["grad", "deep", "kernel"],
+    p.add_argument("--method", choices=["grad", "deep", "kernel", "lime"],
                    default="grad",
                    help="grad = GradientExplainer (expected gradients); "
                         "deep = DeepExplainer (DeepSHAP rescale rules); "
                         "kernel = KernelSHAP (model-agnostic Shapley-kernel "
-                        "regression over waveform segments)")
+                        "regression over waveform segments); lime = LIME "
+                        "linear surrogate over the same segments")
     p.add_argument("--kernel-segments", type=int, default=32,
-                   help="KernelSHAP coalition segments over the waveform "
-                        "(--method kernel)")
+                   help="coalition segments over the waveform "
+                        "(--method kernel/lime)")
     p.add_argument("--num-background", type=int, default=5,
                    help="background rows (zeros + sigma*noise, "
                         "shap_calculation.py:126-127)")

@@ -152,6 +152,24 @@ def _sample_step(cfg: PipelineConfig, mesh=None):
                 num_samples=ec.nsamples,
                 baseline=jnp.mean(bg, axis=0),
             )
+        elif ec.method == "lime":
+            # LIME through the same pipeline as the shap families (the
+            # reference runs it only in the one-clip comparison script,
+            # lime_shap_wav2vec2_comparison.py:75-90): Bernoulli coalition
+            # masks + exponential-kernel weighted ridge instead of the
+            # Shapley kernel; baseline = mean background row, matching the
+            # kernel path so the two segment-level explainers differ only
+            # in their sampling design and regression weights
+            from asr_shap.explain.lime import lime_attributions
+
+            expl = lime_attributions(
+                f, x, fold(key, 1),
+                num_segments=ec.lime_num_segments,
+                num_samples=ec.lime_num_samples,
+                keep_prob=ec.lime_keep_prob,
+                ridge_alpha=ec.lime_ridge_alpha,
+                baseline=jnp.mean(bg, axis=0),
+            )
         elif mesh is not None:
             expl = expected_gradients_sharded(f, x, bg, fold(key, 1), mesh, ec)
         else:
@@ -192,8 +210,8 @@ def _group_size(cfg: PipelineConfig, mesh, length: int) -> int:
     if mesh is None:
         return g
     ndev = int(np.prod(mesh.devices.shape[:1]))
-    if cfg.explainer.method in ("deep", "kernel"):
-        # DeepSHAP/KernelSHAP have no draw axis to shard — always
+    if cfg.explainer.method in ("deep", "kernel", "lime"):
+        # DeepSHAP/KernelSHAP/LIME have no draw axis to shard — always
         # sample-shard, rounding the group UP to cover the device axis
         # (pads are dropped)
         return max(ndev, -(-g // ndev) * ndev)

@@ -220,6 +220,33 @@ def test_run_pipeline_kernel_shap_method(tiny_testset, tiny_config, tmp_path):
     assert np.isfinite(phi).all()
 
 
+def test_run_pipeline_lime_method(tiny_testset, tiny_config, tmp_path):
+    """method="lime" routes the pipeline through the segment-level LIME
+    surrogate (the reference runs LIME only in its one-clip comparison
+    script, lime_shap_wav2vec2_comparison.py:75-90; here it is a full
+    pipeline citizen like the three shap families): same [N, T_frames]
+    layout, finite, and deterministic under the pipeline's per-sample keys."""
+    cfg, ts = tiny_testset
+    params = init_wav2vec2_params(jax.random.key(0), tiny_config)
+    pcfg = PipelineConfig(
+        model=tiny_config,
+        explainer=ExplainerConfig(method="lime", lime_num_samples=64,
+                                  lime_num_segments=8, num_background=2,
+                                  aggregation="mean", remat=False),
+        testset=cfg, data_dir=str(tmp_path),
+    )
+    results = run_shap_pipeline(params, pcfg, ts[:1],
+                                AttributionStore(str(tmp_path)))
+    assert len(results) == 1
+    phi = results[0]["shap_values"]
+    n = len(ts[0]["audio"])
+    assert phi.shape == (n, tiny_config.frames_for_samples(n))
+    assert np.isfinite(phi).all()
+    r2 = run_shap_pipeline(params, pcfg, ts[:1],
+                           AttributionStore(str(tmp_path)), resume=False)
+    np.testing.assert_array_equal(phi, r2[0]["shap_values"])
+
+
 def test_group_size_fixed_executables(tiny_testset, tiny_config, tmp_path):
     """sample_batch=2 over a 2-sample set: results identical to serial
     (sample_batch=1) and to the default batch — grouping never changes
